@@ -1,0 +1,152 @@
+"""Input pipeline: voxel and point datasets + a prefetching batch loader.
+
+Semantics parity with /root/reference/datasets.py:
+  * :class:`VoxelDataset` — per-item ``np.load`` of one [res]^3 SDF grid,
+    clamp to ±clamp and optional rescale to [-1, 1] (reference :16-23);
+    constructors ``glob()`` (:25-32) and ``from_split()`` (:34-40).
+  * :class:`PointDataset` — per-shape uniform + near-surface point files with
+    random subsampling to ``num_points`` (reference :53-90).
+  * :class:`BatchLoader` — replaces ``torch.utils.data.DataLoader``: threaded
+    prefetch of shuffled fixed-size batches. Batches are dense numpy arrays
+    ready for a single host→device transfer; the final short batch is
+    dropped when ``drop_remainder`` (jit caches stay warm on one shape).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import glob as globlib
+import os
+import threading
+import queue as queuelib
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class VoxelDataset:
+    def __init__(self, files: Sequence[str], clamp: Optional[float] = 0.1, rescale_sdf: bool = True):
+        self.files = list(files)
+        self.clamp = clamp
+        self.rescale_sdf = rescale_sdf
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        array = np.load(self.files[index]).astype(np.float32)
+        if self.clamp is not None:
+            array = np.clip(array, -self.clamp, self.clamp)
+            if self.rescale_sdf:
+                array = array / self.clamp
+        return array
+
+    @staticmethod
+    def glob(pattern: str, clamp: float = 0.1, rescale_sdf: bool = True) -> "VoxelDataset":
+        files = sorted(globlib.glob(pattern, recursive=True))
+        if not files:
+            raise FileNotFoundError(f"No files found for glob pattern {pattern}.")
+        return VoxelDataset(files, clamp=clamp, rescale_sdf=rescale_sdf)
+
+    @staticmethod
+    def from_split(pattern: str, split_file_name: str, clamp: float = 0.1, rescale_sdf: bool = True) -> "VoxelDataset":
+        with open(split_file_name) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        files = [pattern.format(i) for i in ids]
+        files = [f for f in files if os.path.exists(f)]
+        return VoxelDataset(files, clamp=clamp, rescale_sdf=rescale_sdf)
+
+
+class PointDataset:
+    """Per-shape uniform + near-surface SDF point samples ([N, 4]: xyz + sdf)."""
+
+    def __init__(self, root: str, filenames: Sequence[str], num_points: int = 1024):
+        self.root = os.path.expanduser(os.path.normpath(root))
+        self.filenames = list(filenames)
+        self.num_points = num_points
+        assert 0 < num_points <= 64**3
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int):
+        name = self.filenames[idx]
+        uniform = np.load(os.path.join(self.root, "uniform", f"{name}.npy")).astype(np.float32)
+        surface = np.load(os.path.join(self.root, "surface", f"{name}.npy")).astype(np.float32)
+        sample = np.random.choice(uniform.shape[0], self.num_points)
+        return uniform[sample], surface[sample]
+
+    @staticmethod
+    def from_split(root: str, split: str, num_points: int = 1024) -> "PointDataset":
+        with open(os.path.join(root, f"{split}.txt")) as f:
+            filenames = [line for line in f.read().split("\n") if line]
+        return PointDataset(root, filenames, num_points)
+
+
+class BatchLoader:
+    """Shuffled, threaded, prefetching batch iterator over a map-style dataset.
+
+    The TPU-side replacement for DataLoader(num_workers=4..8): worker threads
+    load+collate batches ahead of the training loop so the host→device copy
+    never waits on disk.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_remainder: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            if self.drop_remainder and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def _collate(self, indices):
+        items = [self.dataset[int(i)] for i in indices]
+        if isinstance(items[0], tuple):
+            return tuple(np.stack(parts) for parts in zip(*items))
+        return np.stack(items)
+
+    def __iter__(self):
+        q: queuelib.Queue = queuelib.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(self._collate, idx) for idx in self._batch_indices()]
+                for fut in futures:
+                    q.put(fut.result())
+            q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

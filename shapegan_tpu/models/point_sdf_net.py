@@ -1,0 +1,100 @@
+"""Point-set SDF GAN networks.
+
+Parity with /root/reference/model/point_sdf_net.py:
+  * :class:`PointNet` — a per-point MLP 4→64→128→256→512 followed by a max
+    pool over the point axis (or a segment-max over a ragged batch vector)
+    and an MLP 512→256→128→out. The reference's optional ``torch_scatter``
+    dependency becomes ``jax.ops.segment_max``.
+  * :class:`SDFGenerator` — a parameterized batched DeepSDF variant
+    ([B, N, 3] + z → [B, N, 1]) with LayerNorm, a mid-network positional
+    skip concat, and the latent injected *additively* through two Linear
+    projections at layer 0 and layer n/2 (reference :83-84, :108-112).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from shapegan_tpu.models import torch_uniform_init
+
+
+class PointNet(nn.Module):
+    """(pos, sdf) point-set critic. ``out_channels=1`` for the WGAN critic."""
+
+    out_channels: int = 1
+
+    @nn.compact
+    def __call__(self, pos, dist, batch: Optional[jax.Array] = None, num_segments: Optional[int] = None):
+        if dist.shape[-1] != 1:
+            dist = dist[..., None]
+        x = jnp.concatenate([pos, dist], axis=-1)
+
+        for features in (64, 128, 256):
+            x = nn.relu(nn.Dense(features, kernel_init=torch_uniform_init)(x))
+        x = nn.Dense(512, kernel_init=torch_uniform_init)(x)
+
+        if batch is None:
+            x = jnp.max(x, axis=-2)
+        else:
+            if num_segments is None:
+                raise ValueError("num_segments must be static when using a batch vector")
+            x = jax.ops.segment_max(x, batch, num_segments=num_segments)
+
+        for features in (256, 128):
+            x = nn.relu(nn.Dense(features, kernel_init=torch_uniform_init)(x))
+        return nn.Dense(self.out_channels, kernel_init=torch_uniform_init)(x)
+
+
+class SDFGenerator(nn.Module):
+    """Batched implicit SDF generator: (pos [B, N, 3], z [B, L]) → [B, N, 1].
+
+    The final layer's output is raw (no tanh), matching the reference where
+    the last Linear maps hidden→1 with no activation (:114-117 guard).
+    """
+
+    latent_channels: int = 128
+    hidden_channels: int = 256
+    num_layers: int = 8
+    norm: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, pos, z, *, train: bool = False, rng: Optional[jax.Array] = None):
+        assert self.num_layers % 2 == 0
+        if pos.ndim == 2:
+            pos = pos[None, ...]
+        if z.ndim == 1:
+            z = z[None, ...]
+        assert pos.shape[-1] == 3 and z.shape[-1] == self.latent_channels
+        assert pos.shape[0] == z.shape[0]
+
+        half = self.num_layers // 2
+        z1 = nn.Dense(self.hidden_channels, kernel_init=torch_uniform_init, name="z_lin1")(z)
+        z2 = nn.Dense(self.hidden_channels, kernel_init=torch_uniform_init, name="z_lin2")(z)
+
+        dropout_rng = rng
+        x = pos
+        for i in range(self.num_layers):
+            if i == half:
+                x = jnp.concatenate([x, pos], axis=-1)
+            out_features = 1 if i == self.num_layers - 1 else self.hidden_channels
+            x = nn.Dense(out_features, kernel_init=torch_uniform_init, name=f"lin{i}")(x)
+            if i == 0:
+                x = x + z1[:, None, :]
+            if i == half:
+                x = x + z2[:, None, :]
+            if i < self.num_layers - 1:
+                if self.norm:
+                    x = nn.LayerNorm(name=f"norm{i}")(x)
+                x = nn.relu(x)
+                if self.dropout > 0.0 and train:
+                    if dropout_rng is None:
+                        dropout_rng = self.make_rng("dropout")
+                    dropout_rng, sub = jax.random.split(dropout_rng)
+                    keep = jax.random.bernoulli(sub, 1.0 - self.dropout, x.shape)
+                    x = jnp.where(keep, x / (1.0 - self.dropout), 0.0)
+        return x

@@ -1,0 +1,177 @@
+"""The DeepSDF implicit-function MLP — the framework's hottest kernel.
+
+Architecture parity with the reference ``SDFNet``
+(/root/reference/model/sdf_net.py:23-61): an 8x256 ReLU MLP over
+``concat(xyz, z128)`` with the raw input re-concatenated after layer 4 and a
+final Tanh.
+
+TPU-native formulation
+----------------------
+The reference materializes a per-point copy of the latent code
+(``latent.repeat(res**3)``, /root/reference/train_hybrid_gan.py:63-66) and
+concatenates it to every point before each of the two fan-in layers. On TPU
+that is pure wasted HBM bandwidth. We instead split each fan-in layer's weight
+matrix along its input axis:
+
+    concat(p, z) @ W  ==  p @ W[:3]  +  z @ W[3:]
+
+so the latent contribution is computed **once per shape** ([B, 256]) and
+broadcast over its points by the compiler, while the point contribution is a
+small [N, 3] x [3, 256] matmul. The math is bit-equivalent to the concat
+formulation (verified in tests/test_sdf_mlp.py) but the per-point work is pure
+256-wide GEMMs that map straight onto the MXU.
+
+Three apply paths:
+  * :func:`apply`        — per-point latents [N, L] (autodecoder training).
+  * :func:`apply_grid`   — shared point set [P, 3] x shape latents [B, L]
+                           (hybrid GAN dense-grid generation; the 4.2M
+                           evals/step workload at 64^3).
+  * :func:`apply_grid_fused` — the Pallas kernel path (see
+                           :mod:`shapegan_tpu.ops.sdf_mlp_pallas`) with this
+                           module's XLA path as fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from shapegan_tpu import LATENT_CODE_SIZE
+
+SDF_NET_BREADTH = 256
+
+Params = Dict[str, jax.Array]
+
+
+def _torch_linear_init(key, fan_in: int, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — the PyTorch nn.Linear default
+    (kaiming_uniform with a=sqrt(5)), so training dynamics match the
+    reference's initialization regime."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype=dtype, minval=-bound, maxval=bound)
+
+
+def init(key: jax.Array, latent_size: int = LATENT_CODE_SIZE, breadth: int = SDF_NET_BREADTH) -> Params:
+    """Initialize SDFNet parameters.
+
+    Weight storage is pre-split along the fan-in concat boundaries:
+    ``w1p``/``w1z`` correspond to rows [0:3]/[3:3+L] of the reference's first
+    Linear; ``w5h``/``w5p``/``w5z`` to rows [0:B]/[B:B+3]/[B+3:] of the
+    reference's fifth Linear (layers2[0], whose input is cat(h, p, z)).
+    """
+    keys = jax.random.split(key, 16)
+    b = breadth
+    fi1 = 3 + latent_size
+    fi5 = b + 3 + latent_size
+    p = {
+        "w1p": _torch_linear_init(keys[0], fi1, (3, b)),
+        "w1z": _torch_linear_init(keys[1], fi1, (latent_size, b)),
+        "b1": _torch_linear_init(keys[2], fi1, (b,)),
+        "w2": _torch_linear_init(keys[3], b, (b, b)),
+        "b2": _torch_linear_init(keys[3], b, (b,)),
+        "w3": _torch_linear_init(keys[4], b, (b, b)),
+        "b3": _torch_linear_init(keys[4], b, (b,)),
+        "w4": _torch_linear_init(keys[5], b, (b, b)),
+        "b4": _torch_linear_init(keys[5], b, (b,)),
+        "w5h": _torch_linear_init(keys[6], fi5, (b, b)),
+        "w5p": _torch_linear_init(keys[7], fi5, (3, b)),
+        "w5z": _torch_linear_init(keys[8], fi5, (latent_size, b)),
+        "b5": _torch_linear_init(keys[9], fi5, (b,)),
+        "w6": _torch_linear_init(keys[10], b, (b, b)),
+        "b6": _torch_linear_init(keys[10], b, (b,)),
+        "w7": _torch_linear_init(keys[11], b, (b, b)),
+        "b7": _torch_linear_init(keys[11], b, (b,)),
+        "w8": _torch_linear_init(keys[12], b, (b, 1)),
+        "b8": _torch_linear_init(keys[12], b, (1,)),
+    }
+    return p
+
+
+def _body(params: Params, x: jax.Array, p1: jax.Array, p5: jax.Array, dtype) -> jax.Array:
+    """Shared trunk given precomputed fan-in contributions.
+
+    ``p1``/``p5`` are the full pre-activation inputs of layers 1 and 5
+    *minus* the hidden-state term (layer 5 adds ``x @ w5h``). Shapes
+    broadcast: [..., breadth].
+    """
+    w = {k: params[k].astype(dtype) for k in ("w2", "w3", "w4", "w5h", "w6", "w7", "w8")}
+    bias = {k: params[k].astype(dtype) for k in ("b2", "b3", "b4", "b6", "b7", "b8")}
+    x = jax.nn.relu(p1)
+    x = jax.nn.relu(jnp.dot(x, w["w2"], preferred_element_type=dtype) + bias["b2"])
+    x = jax.nn.relu(jnp.dot(x, w["w3"], preferred_element_type=dtype) + bias["b3"])
+    x = jax.nn.relu(jnp.dot(x, w["w4"], preferred_element_type=dtype) + bias["b4"])
+    x = jax.nn.relu(jnp.dot(x, w["w5h"], preferred_element_type=dtype) + p5)
+    x = jax.nn.relu(jnp.dot(x, w["w6"], preferred_element_type=dtype) + bias["b6"])
+    x = jax.nn.relu(jnp.dot(x, w["w7"], preferred_element_type=dtype) + bias["b7"])
+    x = jnp.tanh(jnp.dot(x, w["w8"], preferred_element_type=dtype) + bias["b8"])
+    return x[..., 0]
+
+
+def apply(params: Params, points: jax.Array, latents: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Evaluate SDF at ``points`` [N, 3] with per-point latents [N, L] → [N].
+
+    Equivalent to the reference forward (/root/reference/model/sdf_net.py:56-61).
+    """
+    pts = points.astype(dtype)
+    z = latents.astype(dtype)
+    p1 = (
+        jnp.dot(pts, params["w1p"].astype(dtype), preferred_element_type=dtype)
+        + jnp.dot(z, params["w1z"].astype(dtype), preferred_element_type=dtype)
+        + params["b1"].astype(dtype)
+    )
+    p5 = (
+        jnp.dot(pts, params["w5p"].astype(dtype), preferred_element_type=dtype)
+        + jnp.dot(z, params["w5z"].astype(dtype), preferred_element_type=dtype)
+        + params["b5"].astype(dtype)
+    )
+    return _body(params, pts, p1, p5, dtype)
+
+
+def apply_grid(params: Params, grid_points: jax.Array, latents: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Evaluate a shared point set [P, 3] for every shape latent [B, L] → [B, P].
+
+    This is the dense-grid generation path used by the hybrid GANs
+    (the reference's ``generator(batch_grid_points, repeated_codes)`` at
+    /root/reference/train_hybrid_progressive_gan.py:139). The latent
+    projection is computed once per shape and broadcast — no [B*P, L]
+    materialization ever exists.
+    """
+    pts = grid_points.astype(dtype)
+    z = latents.astype(dtype)
+    pp1 = jnp.dot(pts, params["w1p"].astype(dtype), preferred_element_type=dtype)  # [P, B']
+    pp5 = jnp.dot(pts, params["w5p"].astype(dtype), preferred_element_type=dtype)
+    zz1 = jnp.dot(z, params["w1z"].astype(dtype), preferred_element_type=dtype) + params["b1"].astype(dtype)
+    zz5 = jnp.dot(z, params["w5z"].astype(dtype), preferred_element_type=dtype) + params["b5"].astype(dtype)
+    p1 = pp1[None, :, :] + zz1[:, None, :]  # [B, P, breadth]
+    p5 = pp5[None, :, :] + zz5[:, None, :]
+    return _body(params, pts, p1, p5, dtype)
+
+
+def apply_indexed(
+    params: Params,
+    points: jax.Array,
+    latent_table: jax.Array,
+    shape_indices: jax.Array,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Evaluate points [N, 3] whose latent is ``latent_table[shape_indices]``.
+
+    Autodecoder path (/root/reference/train_sdf_autodecoder.py:78-87): rather
+    than gathering [N, L] latent rows and re-projecting each, project the
+    whole (small) table once to [M, breadth] and gather the projections —
+    a cheaper gather and no per-point latent GEMM.
+    """
+    pts = points.astype(dtype)
+    table = latent_table.astype(dtype)
+    zz1 = jnp.dot(table, params["w1z"].astype(dtype), preferred_element_type=dtype) + params["b1"].astype(dtype)
+    zz5 = jnp.dot(table, params["w5z"].astype(dtype), preferred_element_type=dtype) + params["b5"].astype(dtype)
+    p1 = jnp.dot(pts, params["w1p"].astype(dtype), preferred_element_type=dtype) + zz1[shape_indices]
+    p5 = jnp.dot(pts, params["w5p"].astype(dtype), preferred_element_type=dtype) + zz5[shape_indices]
+    return _body(params, pts, p1, p5, dtype)
+
+
+def parameter_count(params: Params) -> int:
+    return sum(int(v.size) for v in jax.tree.leaves(params))
