@@ -83,6 +83,19 @@ class PointDataset:
         return PointDataset(root, filenames, num_points)
 
 
+class ArrayDataset:
+    """Map-style dataset over an in-memory array (synthetic data / tests)."""
+
+    def __init__(self, array: np.ndarray):
+        self.array = array
+
+    def __len__(self) -> int:
+        return len(self.array)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        return self.array[index]
+
+
 class BatchLoader:
     """Shuffled, threaded, prefetching batch iterator over a map-style dataset.
 
