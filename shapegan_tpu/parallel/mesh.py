@@ -77,6 +77,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def constrain(x, *axes):
+    """Apply a PartitionSpec sharding constraint if a mesh is ambient;
+    silently no-op otherwise (single-device tests and eager use)."""
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*axes))
+    except (ValueError, RuntimeError, TypeError):
+        return x
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, sharded along axis 0."""
     return jax.tree.map(

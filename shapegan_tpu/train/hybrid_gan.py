@@ -1,0 +1,210 @@
+"""Hybrid GAN: DeepSDF implicit generator + 3D-CNN voxel discriminator.
+
+Reference semantics (/root/reference/train_hybrid_gan.py): the generator is
+evaluated densely on the 32^3 grid and the volume is fed to the voxel
+discriminator; G (Adam lr 1e-3) updates every batch with -mean(log D(fake));
+D (Adam lr 1e-5) takes two separate BCE steps (fake→0, real→1); batch 8;
+RAW (unrescaled) SDF data clamped to ±0.1 (``rescale_sdf=False``, :57);
+divergence guard aborts when |pred_fake − pred_real| > 0.1 over the rolling
+window (:136-138); saves every epoch INCLUDING per-epoch snapshots.
+
+TPU-native: the dense grid evaluation uses the fused latent-projection MLP
+([B, P] without any latent repeat — the reference materializes
+``latent.repeat(1,1,32^3)`` at :63-66); the [B, P] activation carries a
+('data', 'points') sharding constraint so the point axis shards across the
+mesh and XLA all-gathers only at the voxel reshape before the discriminator.
+"""
+
+from __future__ import annotations
+
+import functools
+from itertools import count
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from shapegan_tpu import LATENT_CODE_SIZE, SDF_CLIPPING, checkpoints
+from shapegan_tpu.core.config import TrainConfig, parse_cli
+from shapegan_tpu.data.datasets import BatchLoader
+from shapegan_tpu.models.gan import Discriminator
+from shapegan_tpu.models.sdf_net import SDFNet
+from shapegan_tpu.ops.coords import voxel_coordinates
+from shapegan_tpu.ops.losses import bce_loss
+from shapegan_tpu.parallel.mesh import (
+    DATA_AXIS,
+    POINTS_AXIS,
+    constrain,
+    get_mesh,
+    replicated,
+    shard_batch,
+)
+from shapegan_tpu.train.common import (
+    CSVLogger,
+    EpochTimer,
+    RollingHistory,
+    StepProfiler,
+    make_viewer,
+    maybe_print_slice,
+    resolve_voxel_dataset,
+)
+
+VOXEL_RESOLUTION = 32
+BATCH_SIZE = 8
+GENERATOR_LR = 1e-3
+DISCRIMINATOR_LR = 1e-5
+DIVERGENCE_LIMIT = 0.1
+
+G_NAME = "hybrid_gan_generator"
+D_NAME = "hybrid_gan_discriminator"
+
+
+def generate_volumes(net: SDFNet, params, grid_points, latent_codes, resolution: int):
+    """Latents [B, L] → SDF volumes [B, res, res, res] via the fused grid MLP,
+    with the point axis sharded over the mesh until the reshape."""
+    flat = net.apply_grid(params, grid_points, latent_codes)  # [B, P]
+    flat = constrain(flat, DATA_AXIS, POINTS_AXIS)
+    return flat.reshape(-1, resolution, resolution, resolution)
+
+
+def create_states(rng: jax.Array, g_lr: float = GENERATOR_LR, d_lr: float = DISCRIMINATOR_LR,
+                  use_sigmoid: bool = True):
+    net = SDFNet()
+    g_rng, d_rng = jax.random.split(rng)
+    params = net.init(g_rng)
+    g_tx = optax.adam(g_lr)
+    discriminator = Discriminator(use_sigmoid=use_sigmoid)
+    d_vars = discriminator.init(d_rng, jnp.zeros((2,) + (VOXEL_RESOLUTION,) * 3))
+    d_state = train_state.TrainState.create(
+        apply_fn=discriminator.apply, params=d_vars["params"], tx=optax.adam(d_lr)
+    )
+    return net, discriminator, params, g_tx, d_state
+
+
+def make_steps(net: SDFNet, discriminator: Discriminator, g_tx, batch_size: int = BATCH_SIZE,
+               resolution: int = VOXEL_RESOLUTION):
+    grid = jnp.asarray(voxel_coordinates(resolution))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def g_step(g_params, g_opt_state, d_params, rng):
+        def loss_fn(g_params):
+            z = jax.random.normal(rng, (batch_size, LATENT_CODE_SIZE))
+            fake = generate_volumes(net, g_params, grid, z, resolution)
+            d_out = discriminator.apply({"params": d_params}, fake)
+            return -jnp.mean(jnp.log(jnp.clip(d_out, 1e-7, 1.0))), fake
+
+        (_, fake), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
+        updates, g_opt_state = g_tx.update(grads, g_opt_state, g_params)
+        return optax.apply_updates(g_params, updates), g_opt_state, fake
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def d_step(g_params, d_state, batch, rng):
+        batch_size = batch.shape[0]
+        z = jax.random.normal(rng, (batch_size, LATENT_CODE_SIZE))
+        fake = jax.lax.stop_gradient(generate_volumes(net, g_params, grid, z, resolution))
+
+        def fake_loss(d_params):
+            out = discriminator.apply({"params": d_params}, fake)
+            return bce_loss(out, jnp.zeros(batch_size)), out
+
+        (_, pred_fake), grads = jax.value_and_grad(fake_loss, has_aux=True)(d_state.params)
+        d_state = d_state.apply_gradients(grads=grads)
+
+        def real_loss(d_params):
+            out = discriminator.apply({"params": d_params}, batch)
+            return bce_loss(out, jnp.ones(batch_size)), out
+
+        (_, pred_real), grads = jax.value_and_grad(real_loss, has_aux=True)(d_state.params)
+        d_state = d_state.apply_gradients(grads=grads)
+        return d_state, {"pred_fake": jnp.mean(pred_fake), "pred_real": jnp.mean(pred_real)}
+
+    return g_step, d_step
+
+
+def train(config: Optional[TrainConfig] = None):
+    config = config or parse_cli()
+    net, discriminator, g_params, g_tx, d_state = create_states(jax.random.PRNGKey(config.seed))
+    g_opt_state = g_tx.init(g_params)
+
+    if config.resume:
+        if checkpoints.exists(G_NAME, base=config.model_dir):
+            g_params = checkpoints.load(g_params, G_NAME, base=config.model_dir)
+        if checkpoints.exists(D_NAME, base=config.model_dir):
+            d_state = d_state.replace(
+                params=checkpoints.load(d_state.params, D_NAME, base=config.model_dir)
+            )
+
+    # RAW SDF values: clamp but do not rescale (reference :57)
+    dataset = resolve_voxel_dataset(config, resolution=VOXEL_RESOLUTION, rescale_sdf=False)
+    batch_size = config.batch_size or BATCH_SIZE
+    mesh = get_mesh(batch_size=batch_size)
+    loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
+
+    g_params = jax.device_put(g_params, replicated(mesh))
+    d_state = jax.device_put(d_state, replicated(mesh))
+    g_opt_state = jax.device_put(g_opt_state, replicated(mesh))
+    g_step, d_step = make_steps(net, discriminator, g_tx, batch_size=batch_size)
+
+    logger = CSVLogger(f"{config.plot_dir}/hybrid_gan_training.csv", resume=config.resume)
+    first_epoch = logger.first_epoch
+    viewer = make_viewer(config.nogui)
+    history_fake, history_real = RollingHistory(), RollingHistory()
+    profiler = StepProfiler()
+    rng = jax.random.PRNGKey(config.seed + 1)
+
+    epochs = (
+        range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
+    )
+    try:
+        with mesh:
+            for epoch in epochs:
+                with EpochTimer() as timer:
+                    for batch_index, batch in enumerate(loader):
+                        rng, grng, drng = jax.random.split(rng, 3)
+                        with profiler:
+                            g_params, g_opt_state, fake = g_step(
+                                g_params, g_opt_state, d_state.params, grng
+                            )
+                            d_state, metrics = d_step(
+                                g_params, d_state, shard_batch(mesh, batch), drng
+                            )
+                        history_fake.append(metrics["pred_fake"])
+                        history_real.append(metrics["pred_real"])
+                        if batch_index % 20 == 0:
+                            if viewer is not None:
+                                viewer.set_voxels(jax.device_get(fake[0]))
+                            if config.show_slice:
+                                maybe_print_slice(fake[0], True, scale=SDF_CLIPPING)
+                        if config.verbose:
+                            print(
+                                f"Epoch {epoch}, batch {batch_index}: "
+                                f"prediction on fake samples: {history_fake.mean:.4f}, "
+                                f"prediction on valid samples: {history_real.mean:.4f}"
+                            )
+
+                print(
+                    f"Epoch {epoch} ({timer.duration:.1f}s, "
+                    f"{profiler.mean_step_time * 1000:.1f} ms/step), "
+                    f"prediction on fake: {history_fake.mean:.4f}, on real: {history_real.mean:.4f}"
+                )
+
+                if abs(history_fake.mean - history_real.mean) > DIVERGENCE_LIMIT:
+                    print("Network diverged.")  # reference guard (:136-138)
+                    break
+
+                checkpoints.save(g_params, G_NAME, base=config.model_dir)
+                checkpoints.save(d_state.params, D_NAME, base=config.model_dir)
+                checkpoints.save(g_params, G_NAME, epoch=epoch, base=config.model_dir)
+                checkpoints.save(d_state.params, D_NAME, epoch=epoch, base=config.model_dir)
+                logger.write(epoch, timer.duration, history_fake.mean, history_real.mean)
+    except KeyboardInterrupt:
+        pass
+    if viewer is not None:
+        viewer.stop()
+    return g_params, d_state
+
+
+if __name__ == "__main__":
+    train()

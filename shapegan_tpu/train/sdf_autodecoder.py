@@ -1,0 +1,195 @@
+"""DeepSDF autodecoder trainer: co-optimize the implicit MLP and a per-shape
+latent table.
+
+Reference semantics (/root/reference/train_sdf_autodecoder.py): the whole
+point dataset lives on-device (points [S*200k, 3], sdf clamped to ±0.1);
+latent table initialized N(0, 1e-4); two Adam optimizers (network + codes) at
+lr 1e-5; batches of 20k indices drawn **sign-balanced** (equal positive /
+negative SDF counts per epoch, reference :55-69); point→shape mapping is
+``index // POINTCLOUD_SIZE``; loss = L1 on clamped SDF + 0.01·mean(z²);
+save net + latent table every epoch, plus per-epoch snapshots; CSV schema
+``epoch time loss latent_std``; epoch resume from the CSV line count.
+
+TPU-native: the gather (points/sdf/latent rows), the fused MLP (latent
+projections gathered from a once-per-step projected table — see
+ops/sdf_mlp.apply_indexed), both losses, both Adam updates, and the
+latent-row scatter-add of code gradients are ONE jitted step. Unlike the
+reference, every batch has the same static size (the epoch's remainder batch
+is padded with repeated indices instead of being oversized) so one compiled
+program serves the whole run.
+"""
+
+from __future__ import annotations
+
+import functools
+from itertools import count
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from shapegan_tpu import LATENT_CODE_SIZE, checkpoints
+from shapegan_tpu.core.config import TrainConfig, parse_cli
+from shapegan_tpu.models import LATENT_CODES_FILENAME
+from shapegan_tpu.models.sdf_net import SDFNet
+from shapegan_tpu.train.common import CSVLogger, EpochTimer, StepProfiler, make_viewer
+
+POINTCLOUD_SIZE = 200000
+BATCH_SIZE = 20000
+SDF_CUTOFF = 0.1
+SIGMA = 0.01
+LEARNING_RATE = 1e-5
+VIEWER_UPDATE_BATCHES = 400
+
+NET_NAME = "sdf_net"
+
+
+def load_pointcloud(config: TrainConfig):
+    """Load (points, sdf) — real monolithic artifacts or synthetic shapes."""
+    import os
+
+    if config.synthetic:
+        from shapegan_tpu.data.synthetic import make_sdf_pointcloud
+
+        pointcloud_size = int(config.extras.get("pointcloud_size", 20000))
+        points, sdf = make_sdf_pointcloud(config.synthetic, pointcloud_size, seed=config.seed)
+        return points, sdf, pointcloud_size
+    points = np.load(os.path.join(config.data_dir, "sdf_points.npy"))
+    sdf = np.load(os.path.join(config.data_dir, "sdf_values.npy"))
+    return points.astype(np.float32), sdf.astype(np.float32), POINTCLOUD_SIZE
+
+
+def create_batches(signs: np.ndarray, batch_size: int, rng: np.random.Generator):
+    """Sign-balanced shuffled index batches (reference :55-69): subsample the
+    majority sign to the minority's count, shuffle, cut into fixed-size
+    batches; the final partial batch is padded with random repeats (static
+    shape for jit) rather than merged into an oversized one."""
+    positive = np.nonzero(signs)[0]
+    negative = np.nonzero(~signs)[0]
+    if negative.shape[0] > positive.shape[0]:
+        rng.shuffle(negative)
+        negative = negative[: positive.shape[0]]
+    else:
+        rng.shuffle(positive)
+        positive = positive[: negative.shape[0]]
+    indices = np.concatenate((negative, positive))
+    rng.shuffle(indices)
+    for i in range(0, max(len(indices), 1), batch_size):
+        chunk = indices[i : i + batch_size]
+        if len(chunk) == 0:
+            return
+        if len(chunk) < batch_size:
+            pad = rng.choice(indices, batch_size - len(chunk))
+            chunk = np.concatenate([chunk, pad])
+        yield chunk
+
+
+def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_step(params, latent_codes, net_opt_state, code_opt_state, points, sdf, indices):
+        shape_indices = indices // pointcloud_size
+        batch_points = points[indices]
+        batch_sdf = sdf[indices]
+
+        def loss_fn(params, codes):
+            output = net.apply_indexed(params, batch_points, codes, shape_indices)
+            batch_codes = codes[shape_indices]
+            return jnp.mean(jnp.abs(output - batch_sdf)) + SIGMA * jnp.mean(batch_codes**2)
+
+        loss, (net_grads, code_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, latent_codes
+        )
+        net_updates, net_opt_state = net_tx.update(net_grads, net_opt_state, params)
+        params = optax.apply_updates(params, net_updates)
+        code_updates, code_opt_state = code_tx.update(code_grads, code_opt_state, latent_codes)
+        latent_codes = optax.apply_updates(latent_codes, code_updates)
+        return params, latent_codes, net_opt_state, code_opt_state, loss
+
+    return train_step
+
+
+def train(config: Optional[TrainConfig] = None):
+    config = config or parse_cli()
+    net = SDFNet()
+
+    points_np, sdf_np, pointcloud_size = load_pointcloud(config)
+    model_count = points_np.shape[0] // pointcloud_size
+    sdf_np = np.clip(sdf_np, -SDF_CUTOFF, SDF_CUTOFF)
+    signs = sdf_np > 0
+
+    batch_size = config.batch_size or BATCH_SIZE
+    points = jnp.asarray(points_np)
+    sdf = jnp.asarray(sdf_np)
+
+    rng = jax.random.PRNGKey(config.seed)
+    params = net.init(rng)
+    latent_codes = (
+        jax.random.normal(jax.random.PRNGKey(config.seed + 1), (model_count, LATENT_CODE_SIZE))
+        * 1e-4
+    )
+
+    net_tx = optax.adam(LEARNING_RATE)
+    code_tx = optax.adam(LEARNING_RATE)
+
+    if config.resume and checkpoints.exists(NET_NAME, base=config.model_dir):
+        params = checkpoints.load(params, NET_NAME, base=config.model_dir)
+        latent_codes = jnp.asarray(
+            checkpoints.load_array(LATENT_CODES_FILENAME, base=config.model_dir)
+        )
+
+    net_opt_state = net_tx.init(params)
+    code_opt_state = code_tx.init(latent_codes)
+    step_fn = make_train_step(net, net_tx, code_tx, pointcloud_size)
+
+    logger = CSVLogger(f"{config.plot_dir}/sdf_net_training.csv", resume=config.resume)
+    first_epoch = logger.first_epoch  # reference resume convention (:49-51)
+    viewer = make_viewer(config.nogui)
+    profiler = StepProfiler()
+    np_rng = np.random.default_rng(config.seed)
+
+    epochs = (
+        range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
+    )
+    try:
+        for epoch in epochs:
+            loss_values = []
+            with EpochTimer() as timer:
+                for batch_index, batch in enumerate(create_batches(signs, batch_size, np_rng)):
+                    indices = jnp.asarray(batch, dtype=jnp.int32)
+                    with profiler:
+                        params, latent_codes, net_opt_state, code_opt_state, loss = step_fn(
+                            params, latent_codes, net_opt_state, code_opt_state,
+                            points, sdf, indices,
+                        )
+                    loss_values.append(float(loss))
+                    if viewer is not None and batch_index % VIEWER_UPDATE_BATCHES == 0:
+                        code = latent_codes[np_rng.integers(model_count)]
+                        mesh_obj = net.get_mesh(params, code, voxel_resolution=64)
+                        if mesh_obj is not None:
+                            viewer.set_mesh(mesh_obj)
+
+            latent_std = float(np.std(np.asarray(latent_codes).reshape(-1)))
+            print(
+                f"Epoch {epoch}, {timer.duration:.1f}s "
+                f"({profiler.mean_step_time * 1000:.1f} ms/step). "
+                f"Loss: {np.mean(loss_values):.8f}"
+            )
+
+            checkpoints.save(params, NET_NAME, base=config.model_dir)
+            checkpoints.save_array(latent_codes, LATENT_CODES_FILENAME, base=config.model_dir)
+            checkpoints.save(params, NET_NAME, epoch=epoch, base=config.model_dir)
+            checkpoints.save_array(
+                latent_codes, LATENT_CODES_FILENAME, epoch=epoch, base=config.model_dir
+            )
+            logger.write(epoch, timer.duration, float(np.mean(loss_values)), latent_std)
+    except KeyboardInterrupt:
+        pass
+    if viewer is not None:
+        viewer.stop()
+    return params, latent_codes
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,72 @@
+"""Autodecoder: sign-balanced batching, convergence on an analytic shape,
+full loop + artifacts."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from shapegan_tpu import checkpoints
+from shapegan_tpu.core.config import TrainConfig
+from shapegan_tpu.models import LATENT_CODES_FILENAME
+from shapegan_tpu.models.sdf_net import SDFNet
+from shapegan_tpu.train import sdf_autodecoder as ad
+
+
+def test_create_batches_sign_balanced():
+    rng = np.random.default_rng(0)
+    signs = rng.random(10000) < 0.7  # 70% positive
+    batches = list(ad.create_batches(signs, 1000, rng))
+    all_idx = np.concatenate(batches)
+    # every batch is exactly batch_size
+    assert all(len(b) == 1000 for b in batches)
+    # roughly half positive, half negative overall
+    frac_pos = signs[all_idx].mean()
+    assert 0.45 < frac_pos < 0.55
+
+
+def test_autodecoder_converges_on_sphere():
+    # One shape: unit-ball points labeled with an analytic sphere SDF. After
+    # a few hundred steps the (tiny) net's loss must drop substantially.
+    net = SDFNet(latent_code_size=8, breadth=32)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    sdf = (np.linalg.norm(pts, axis=1) - 0.5).astype(np.float32)
+    sdf = np.clip(sdf, -0.1, 0.1)
+
+    params = net.init(jax.random.PRNGKey(0))
+    codes = jax.random.normal(jax.random.PRNGKey(1), (1, 8)) * 1e-4
+    net_tx = optax.adam(1e-3)
+    code_tx = optax.adam(1e-3)
+    net_opt = net_tx.init(params)
+    code_opt = code_tx.init(codes)
+    step = ad.make_train_step(net, net_tx, code_tx, pointcloud_size=4000)
+
+    points_j, sdf_j = jnp.asarray(pts), jnp.asarray(sdf)
+    losses = []
+    for i in range(60):
+        idx = jnp.asarray(rng.integers(0, 4000, 2000), dtype=jnp.int32)
+        params, codes, net_opt, code_opt, loss = step(
+            params, codes, net_opt, code_opt, points_j, sdf_j, idx
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(losses[-1])
+
+
+def test_full_loop_saves_net_and_latents(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = TrainConfig(
+        synthetic=3, batch_size=512, epochs=1, nogui=True,
+        model_dir=str(tmp_path / "models"), plot_dir=str(tmp_path / "plots"),
+        extras={"pointcloud_size": 1024},
+    )
+    params, codes = ad.train(config)
+    assert checkpoints.exists(ad.NET_NAME, base=config.model_dir)
+    assert checkpoints.exists(LATENT_CODES_FILENAME, base=config.model_dir)
+    # per-epoch snapshots (reference saves one per epoch)
+    assert checkpoints.exists(ad.NET_NAME, epoch=0, base=config.model_dir)
+    assert codes.shape == (3, 128)
+    log = (tmp_path / "plots" / "sdf_net_training.csv").read_text().strip().splitlines()
+    assert len(log) == 1
+    assert len(log[0].split()) == 4  # epoch time loss latent_std
