@@ -110,6 +110,40 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return (x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)).astype(np.float32)
 
 
+class SyntheticPointDataset:
+    """In-memory stand-in for :class:`~shapegan_tpu.data.datasets.PointDataset`:
+    per-shape (uniform [P, 4], surface [P, 4]) point samples (xyz + sdf) from
+    random analytic shapes. Matches the prep pipeline's on-disk artifact
+    semantics (unit-sphere uniform samples + jittered near-surface samples,
+    /root/reference/prepare_shapenet_dataset.py:69-86)."""
+
+    def __init__(self, count_shapes: int, pool_size: int = 16384, num_points: int = 1024, seed: int = 0):
+        self.num_points = num_points
+        self._rng = np.random.default_rng(seed)
+        self._uniform = []
+        self._surface = []
+        for s in range(count_shapes):
+            rng = np.random.default_rng(seed + 1000 + s)
+            direction = _normalize(rng.normal(size=(pool_size, 3)))
+            radius = rng.random((pool_size, 1)) ** (1 / 3)
+            upts = (direction * radius).astype(np.float32)
+            usdf = random_shape_sdf(upts, seed=seed + s).astype(np.float32)
+            spts = upts - usdf[:, None] * _normalize(rng.normal(size=(pool_size, 3)))
+            spts += rng.normal(0, 0.0025, spts.shape)
+            spts = spts.astype(np.float32)
+            ssdf = random_shape_sdf(spts, seed=seed + s).astype(np.float32)
+            self._uniform.append(np.concatenate([upts, usdf[:, None]], axis=1))
+            self._surface.append(np.concatenate([spts, ssdf[:, None]], axis=1))
+
+    def __len__(self):
+        return len(self._uniform)
+
+    def __getitem__(self, idx: int):
+        pool = self._uniform[idx]
+        sample = self._rng.choice(pool.shape[0], self.num_points)
+        return pool[sample], self._surface[idx][sample]
+
+
 def write_voxel_dataset_files(directory: str, count: int, resolution: int = 32, seed: int = 0):
     """Write per-shape .npy voxel files in the reference's on-disk layout
     (data/<cat>/voxels_<res>/<id>.npy) for dataset-loader tests."""

@@ -28,7 +28,19 @@ class PointNet(nn.Module):
     out_channels: int = 1
 
     @nn.compact
-    def __call__(self, pos, dist, batch: Optional[jax.Array] = None, num_segments: Optional[int] = None):
+    def __call__(
+        self,
+        pos,
+        dist,
+        batch: Optional[jax.Array] = None,
+        num_segments: Optional[int] = None,
+        mask: Optional[jax.Array] = None,
+    ):
+        """``batch``+``num_segments`` pools ragged flat point sets via
+        segment-max (the reference's optional torch_scatter path). ``mask``
+        [..., N] instead excludes points from the max pool — the TPU-native
+        (static-shape) representation of ragged per-shape subsets used by the
+        refinement trainer (/root/reference/train_point_gan_ref.py:31-51)."""
         if dist.shape[-1] != 1:
             dist = dist[..., None]
         x = jnp.concatenate([pos, dist], axis=-1)
@@ -38,6 +50,8 @@ class PointNet(nn.Module):
         x = nn.Dense(512, kernel_init=torch_uniform_init)(x)
 
         if batch is None:
+            if mask is not None:
+                x = jnp.where(mask[..., None], x, -jnp.inf)
             x = jnp.max(x, axis=-2)
         else:
             if num_segments is None:

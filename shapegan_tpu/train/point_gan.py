@@ -1,0 +1,187 @@
+"""Point-set SDF GAN trainer.
+
+Reference semantics (/root/reference/train_point_gan.py): G = SDFGenerator
+(batched implicit MLP), D = PointNet critic over (pos, dist) pairs; WGAN-GP
+over SDF *values* at shared uniform positions (the gradient penalty
+interpolates the distance channel only, :61-71); RMSprop lr 1e-4 both; G
+updated every 5th step; point-count curriculum
+(1024,b32,e300) → (2048) → (4096) → (8192,b24) → (16384,b12) → (32768,b6,e900)
+(:31-38); argparse ``--category``.
+
+TPU-native: one jitted D step (WGAN loss + nested-grad GP + RMSprop update)
+and one jitted G step per curriculum stage; each stage is a fresh jit
+specialization (static point count / batch size).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from shapegan_tpu import checkpoints
+from shapegan_tpu.core.config import TrainConfig, parse_cli
+from shapegan_tpu.data.datasets import BatchLoader, PointDataset
+from shapegan_tpu.models.point_sdf_net import PointNet, SDFGenerator
+from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from shapegan_tpu.train.common import CSVLogger, EpochTimer, StepProfiler
+
+LATENT_SIZE = 128
+GRADIENT_PENALTY = 10.0
+HIDDEN_SIZE = 256
+NUM_LAYERS = 8
+LEARN_RATE = 1e-4
+GENERATOR_UPDATE_EVERY = 5
+
+# (num_points, batch_size, epochs) — reference :31-38
+CURRICULUM = [
+    (1024, 32, 300),
+    (2048, 32, 300),
+    (4096, 32, 300),
+    (8192, 24, 300),
+    (16384, 12, 300),
+    (32768, 6, 900),
+]
+
+G_NAME = "point_gan_generator"
+D_NAME = "point_gan_discriminator"
+
+
+def create_models(seed: int = 0):
+    generator = SDFGenerator(
+        latent_channels=LATENT_SIZE, hidden_channels=HIDDEN_SIZE, num_layers=NUM_LAYERS, norm=True
+    )
+    discriminator = PointNet(out_channels=1)
+    g_rng, d_rng = jax.random.split(jax.random.PRNGKey(seed))
+    pos = jnp.zeros((2, 64, 3))
+    g_params = generator.init(g_rng, pos, jnp.zeros((2, LATENT_SIZE)))["params"]
+    d_params = discriminator.init(d_rng, pos, jnp.zeros((2, 64, 1)))["params"]
+    return generator, discriminator, g_params, d_params
+
+
+def make_steps(generator: SDFGenerator, discriminator: PointNet, g_tx, d_tx):
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def d_step(g_params, d_params, d_opt_state, u_pos, u_dist, rng):
+        z_rng, gp_rng = jax.random.split(rng)
+        z = jax.random.normal(z_rng, (u_pos.shape[0], LATENT_SIZE))
+        fake = jax.lax.stop_gradient(generator.apply({"params": g_params}, u_pos, z))
+
+        def loss_fn(d_params):
+            critic = lambda dist: discriminator.apply({"params": d_params}, u_pos, dist)[..., 0]
+            out_real = critic(u_dist)
+            out_fake = critic(fake)
+            d_loss = jnp.mean(out_fake) - jnp.mean(out_real)
+            # GP interpolates the DISTANCE channel only (reference :61-71).
+            alpha = jax.random.uniform(gp_rng, (u_pos.shape[0], 1, 1))
+            interp = alpha * u_dist + (1.0 - alpha) * fake
+
+            def summed(dist):
+                return jnp.sum(critic(dist))
+
+            grads = jax.grad(summed)(interp)
+            norms = jnp.sqrt(jnp.sum(grads**2, axis=(1, 2)) + 1e-12)
+            gp = GRADIENT_PENALTY * jnp.mean((norms - 1.0) ** 2)
+            return d_loss + gp, (d_loss, gp)
+
+        (_, (d_loss, gp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
+        return optax.apply_updates(d_params, updates), d_opt_state, d_loss, gp
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def g_step(g_params, g_opt_state, d_params, u_pos, rng):
+        z = jax.random.normal(rng, (u_pos.shape[0], LATENT_SIZE))
+
+        def loss_fn(g_params):
+            fake = generator.apply({"params": g_params}, u_pos, z)
+            out = discriminator.apply({"params": d_params}, u_pos, fake)[..., 0]
+            return -jnp.mean(out)
+
+        loss, grads = jax.value_and_grad(loss_fn)(g_params)
+        updates, g_opt_state = g_tx.update(grads, g_opt_state, g_params)
+        return optax.apply_updates(g_params, updates), g_opt_state, loss
+
+    return d_step, g_step
+
+
+def resolve_point_dataset(config: TrainConfig):
+    import os
+
+    if config.synthetic:
+        from shapegan_tpu.data.synthetic import SyntheticPointDataset
+
+        return SyntheticPointDataset(config.synthetic, seed=config.seed)
+    return PointDataset.from_split(os.path.join(config.data_dir, config.category), "train")
+
+
+def train(config: Optional[TrainConfig] = None, curriculum=None):
+    config = config or parse_cli()
+    generator, discriminator, g_params, d_params = create_models(config.seed)
+    g_tx = optax.rmsprop(LEARN_RATE)
+    d_tx = optax.rmsprop(LEARN_RATE)
+
+    if config.resume:
+        if checkpoints.exists(G_NAME, base=config.model_dir):
+            g_params = checkpoints.load(g_params, G_NAME, base=config.model_dir)
+        if checkpoints.exists(D_NAME, base=config.model_dir):
+            d_params = checkpoints.load(d_params, D_NAME, base=config.model_dir)
+    g_opt_state = g_tx.init(g_params)
+    d_opt_state = d_tx.init(d_params)
+
+    dataset = resolve_point_dataset(config)
+    mesh = get_mesh(batch_size=1)
+    g_params, d_params, g_opt_state, d_opt_state = jax.device_put(
+        (g_params, d_params, g_opt_state, d_opt_state), replicated(mesh)
+    )
+    d_step, g_step = make_steps(generator, discriminator, g_tx, d_tx)
+
+    logger = CSVLogger(f"{config.plot_dir}/point_gan_training.csv", resume=config.resume)
+    profiler = StepProfiler()
+    rng = jax.random.PRNGKey(config.seed + 1)
+    num_steps = 0
+
+    curriculum = curriculum or CURRICULUM
+    with mesh:
+        for num_points, batch_size, stage_epochs in curriculum:
+            if config.epochs:
+                stage_epochs = min(stage_epochs, config.epochs)
+            dataset.num_points = num_points
+            loader = BatchLoader(
+                dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed
+            )
+            for epoch in range(1, stage_epochs + 1):
+                total_loss = 0.0
+                count = 0
+                with EpochTimer() as timer:
+                    for uniform, _surface in loader:
+                        num_steps += 1
+                        batch = shard_batch(mesh, uniform.astype(np.float32))
+                        u_pos, u_dist = batch[..., :3], batch[..., 3:]
+                        rng, drng, grng = jax.random.split(rng, 3)
+                        with profiler:
+                            d_params, d_opt_state, d_loss, gp = d_step(
+                                g_params, d_params, d_opt_state, u_pos, u_dist, drng
+                            )
+                            if num_steps % GENERATOR_UPDATE_EVERY == 0:
+                                g_params, g_opt_state, _ = g_step(
+                                    g_params, g_opt_state, d_params, u_pos, grng
+                                )
+                        total_loss += abs(float(d_loss))
+                        count += 1
+
+                mean_loss = total_loss / max(count, 1)
+                print(
+                    f"Num points: {num_points}, Epoch: {epoch:03d}, "
+                    f"Loss: {mean_loss:.6f} ({profiler.mean_step_time * 1000:.1f} ms/step)"
+                )
+                logger.write(num_points, epoch, timer.duration, mean_loss)
+                checkpoints.save(g_params, G_NAME, base=config.model_dir)
+                checkpoints.save(d_params, D_NAME, base=config.model_dir)
+    return g_params, d_params
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,97 @@
+"""Point GAN + refinement: step smoke tests and masked-pooling semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from shapegan_tpu.core.config import TrainConfig
+from shapegan_tpu.data.synthetic import SyntheticPointDataset
+from shapegan_tpu.train import point_gan as pg
+from shapegan_tpu.train import point_gan_ref as pgr
+
+
+def _setup():
+    generator, discriminator, g_params, d_params = pg.create_models(seed=0)
+    g_tx = optax.rmsprop(1e-4)
+    d_tx = optax.rmsprop(1e-4)
+    return generator, discriminator, g_params, d_params, g_tx, d_tx
+
+
+def test_point_gan_steps():
+    generator, discriminator, g_params, d_params, g_tx, d_tx = _setup()
+    d_step, g_step = pg.make_steps(generator, discriminator, g_tx, d_tx)
+    d_opt = d_tx.init(d_params)
+    g_opt = g_tx.init(g_params)
+
+    ds = SyntheticPointDataset(2, pool_size=512, num_points=128, seed=0)
+    uniform, _ = ds[0]
+    batch = jnp.asarray(np.stack([uniform, ds[1][0]]))
+    u_pos, u_dist = batch[..., :3], batch[..., 3:]
+
+    d_params, d_opt, d_loss, gp = d_step(g_params, d_params, d_opt, u_pos, u_dist,
+                                         jax.random.PRNGKey(1))
+    assert np.isfinite(float(d_loss)) and float(gp) >= 0.0
+    g_params, g_opt, g_loss = g_step(g_params, g_opt, d_params, u_pos, jax.random.PRNGKey(2))
+    assert np.isfinite(float(g_loss))
+
+
+def test_refinement_projects_toward_surface():
+    generator, _, g_params, _, _, _ = _setup()
+    u_pos = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 3), minval=-1, maxval=1)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 128))
+    out_pos, u_dist, s_pos, s_dist = pgr.refine(generator, g_params, u_pos, z,
+                                                jax.random.PRNGKey(2))
+    assert s_pos.shape == u_pos.shape
+    assert s_dist.shape == u_dist.shape
+    # projection moves points (gradient is nonzero for a random net)
+    assert float(jnp.abs(s_pos - u_pos).mean()) > 0.0
+
+
+def test_mixed_batch_masks():
+    u_pos = jnp.zeros((1, 8, 3))
+    u_dist = jnp.asarray([[0.01, 0.5, -0.02, 0.9, 0.05, -0.5, 0.3, 0.0]]).reshape(1, 8, 1)
+    s_pos = jnp.ones((1, 8, 3))
+    s_dist = jnp.zeros((1, 8, 1))
+    pos, dist, mask = pgr.mixed_batch(u_pos, u_dist, s_pos, s_dist, jax.random.PRNGKey(0))
+    assert pos.shape == (1, 16, 3)
+    near = np.abs(np.asarray(u_dist[0, :, 0])) < pgr.THRESHOLD
+    # surface half of the mask is exactly the near-surface set
+    np.testing.assert_array_equal(np.asarray(mask[0, 8:]), near)
+    # uniform half includes at least the near-surface set
+    assert (np.asarray(mask[0, :8]) | ~near).all()
+
+
+def test_ref_d_and_g_steps():
+    generator, discriminator, g_params, d_params, g_tx, d_tx = _setup()
+    d_step, g_step = pgr.make_steps(generator, discriminator, g_tx, d_tx)
+    d_opt = d_tx.init(d_params)
+    g_opt = g_tx.init(g_params)
+    ds = SyntheticPointDataset(2, pool_size=512, num_points=128, seed=0)
+    u, s = ds[0]
+    uniform = jnp.asarray(np.stack([u, ds[1][0]]))
+    surface = jnp.asarray(np.stack([s, ds[1][1]]))
+
+    d_params, d_opt, d_loss, gp = d_step(
+        g_params, d_params, d_opt,
+        uniform[..., :3], uniform[..., 3:], surface[..., :3], surface[..., 3:],
+        jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(d_loss))
+    g_params, g_opt, g_loss = g_step(g_params, g_opt, d_params, uniform[..., :3],
+                                     jax.random.PRNGKey(2))
+    assert np.isfinite(float(g_loss))
+
+
+def test_point_gan_full_loop(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = TrainConfig(
+        synthetic=4, nogui=True, epochs=1,
+        model_dir=str(tmp_path / "models"), plot_dir=str(tmp_path / "plots"),
+    )
+    pg.train(config, curriculum=[(128, 2, 1)])
+    from shapegan_tpu import checkpoints
+
+    assert checkpoints.exists(pg.G_NAME, base=config.model_dir)
+    pgr.train(config, curriculum=[(128, 2, 1)])
+    assert checkpoints.exists(pgr.G_NAME, base=config.model_dir)
