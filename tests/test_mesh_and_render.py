@@ -1,0 +1,178 @@
+"""Mesh extraction, mesh IO, binary voxel meshing and the raymarcher,
+verified against analytic SDFs."""
+
+import os
+
+import numpy as np
+import jax
+
+from shapegan_tpu.data.mesh_io import TriangleMesh, load_mesh
+from shapegan_tpu.data.synthetic import sphere_sdf
+from shapegan_tpu.ops.coords import voxel_coordinate_grid
+from shapegan_tpu.ops.mesh_extract import extract_mesh, marching_cubes
+from shapegan_tpu.render.binary_voxels import create_binary_voxel_mesh
+
+
+def make_sphere_volume(res=32, radius=0.5):
+    return sphere_sdf(voxel_coordinate_grid(res), radius=radius).astype(np.float32)
+
+
+def test_extract_sphere_vertices_on_surface():
+    res = 32
+    voxels = make_sphere_volume(res)
+    # spacing converts index space back to [-1, 1]
+    vertices, faces = extract_mesh(voxels, level=0.0, spacing=2.0 / (res - 1), origin=(-1, -1, -1))
+    assert vertices.shape[0] > 100
+    radii = np.linalg.norm(vertices, axis=1)
+    np.testing.assert_allclose(radii, 0.5, atol=0.02)
+
+
+def test_extract_normals_point_outward():
+    res = 24
+    voxels = make_sphere_volume(res)
+    vertices, faces = extract_mesh(voxels, level=0.0, spacing=2.0 / (res - 1), origin=(-1, -1, -1))
+    tri = vertices[faces]  # [F, 3, 3]
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    centroids = tri.mean(axis=1)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    # outward = aligned with the radial direction for a sphere
+    alignment = np.einsum("ij,ij->i", normals, centroids)
+    assert (alignment > 0).mean() > 0.99
+
+
+def test_extract_mesh_area_close_to_sphere():
+    res = 48
+    voxels = make_sphere_volume(res)
+    vertices, faces = extract_mesh(voxels, level=0.0, spacing=2.0 / (res - 1), origin=(-1, -1, -1))
+    mesh = TriangleMesh(vertices, faces)
+    expected = 4 * np.pi * 0.5**2
+    assert abs(mesh.area - expected) / expected < 0.05
+
+
+def test_marching_cubes_facade():
+    voxels = make_sphere_volume(16)
+    verts, faces, normals, values = marching_cubes(voxels, level=0.0, spacing=(1.0, 1.0, 1.0))
+    assert verts.shape[0] == normals.shape[0]
+    assert faces.max() < verts.shape[0]
+
+
+def test_empty_volume_gives_empty_mesh():
+    voxels = np.ones((8, 8, 8), dtype=np.float32)
+    vertices, faces = extract_mesh(voxels)
+    assert vertices.shape[0] == 0
+
+
+def test_mesh_weld_and_sample():
+    voxels = make_sphere_volume(24)
+    vertices, faces = extract_mesh(voxels, spacing=2.0 / 23, origin=(-1, -1, -1))
+    soup = TriangleMesh(vertices, faces)
+    welded = soup.weld()
+    assert len(welded.vertices) < len(soup.vertices)
+    assert abs(welded.area - soup.area) / soup.area < 1e-4
+    pts = welded.sample(2000, seed=0)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 0.5, atol=0.03)
+
+
+def test_mesh_io_roundtrip(tmp_path):
+    voxels = make_sphere_volume(12)
+    vertices, faces = extract_mesh(voxels, spacing=2.0 / 11, origin=(-1, -1, -1))
+    mesh = TriangleMesh(vertices, faces).weld()
+    for ext in ("obj", "stl"):
+        path = str(tmp_path / f"sphere.{ext}")
+        mesh.save(path)
+        loaded = load_mesh(path)
+        assert abs(loaded.area - mesh.area) / mesh.area < 1e-3
+
+
+def test_scaling_conventions():
+    rng = np.random.default_rng(0)
+    mesh = TriangleMesh(rng.normal(2.0, 3.0, (30, 3)), np.arange(30).reshape(-1, 3))
+    unit_sphere = mesh.scaled_to_unit_sphere()
+    assert abs(np.linalg.norm(unit_sphere.vertices, axis=1).max() - 1.0) < 1e-5
+    unit_cube = mesh.scaled_to_unit_cube()
+    lo, hi = unit_cube.bounding_box
+    assert abs((hi - lo).max() - 2.0) < 1e-5
+
+
+def test_binary_voxel_mesh_cube_count():
+    voxels = np.ones((4, 4, 4), dtype=np.float32)
+    voxels[1, 1, 1] = -1.0  # one occupied voxel -> one cube = 12 triangles
+    mesh = create_binary_voxel_mesh(voxels)
+    assert len(mesh.faces) == 12
+    assert len(mesh.vertices) == 8
+    lo, hi = mesh.bounding_box
+    np.testing.assert_allclose(lo, [1, 1, 1])
+    np.testing.assert_allclose(hi, [2, 2, 2])
+
+
+def test_binary_voxel_mesh_normals_outward():
+    voxels = np.ones((4, 4, 4), dtype=np.float32)
+    voxels[1:3, 1:3, 1:3] = -1.0
+    mesh = create_binary_voxel_mesh(voxels)
+    center = mesh.vertices.mean(axis=0)
+    tri = mesh.triangles
+    normals = mesh.face_normals
+    outward = np.einsum("ij,ij->i", normals, tri.mean(axis=1) - center)
+    assert (outward > 0).all()
+
+
+def test_sdfnet_get_mesh_and_raymarch_on_trained_sphere():
+    """Overfit a tiny SDFNet to a sphere, then check BOTH inference paths:
+    mesh extraction and the sphere-traced render."""
+    import jax.numpy as jnp
+    import optax
+
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.render.raymarching import render_image
+
+    net = SDFNet(latent_code_size=4, breadth=64)
+    params = net.init(jax.random.PRNGKey(0))
+    code = jnp.zeros(4)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.1, 1.1, (8192, 3)).astype(np.float32)
+    target = np.clip(np.linalg.norm(pts, axis=1) - 0.5, -0.5, 0.5).astype(np.float32)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out = net.apply_grid(p, jnp.asarray(pts), code[None])[0]
+            return jnp.mean(jnp.abs(out - jnp.asarray(target)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    for _ in range(300):
+        params, opt, loss = step(params, opt)
+    assert float(loss) < 0.05
+
+    mesh = net.get_mesh(params, code, voxel_resolution=32)
+    assert mesh is not None
+    radii = np.linalg.norm(mesh.vertices, axis=1)
+    assert abs(np.median(radii) - 0.5) < 0.1
+
+    image = render_image(net, params, code, resolution=64, ssaa=1, iterations=200)
+    arr = np.asarray(image)
+    assert arr.shape == (64, 64, 3)
+    # the sphere must cover a plausible fraction of the frame
+    non_background = (arr < 250).any(axis=2).mean()
+    assert 0.05 < non_background < 0.9
+
+
+def test_get_voxels_and_surface_points():
+    import jax.numpy as jnp
+
+    from shapegan_tpu.models.sdf_net import SDFNet
+
+    net = SDFNet(latent_code_size=4, breadth=16)
+    params = net.init(jax.random.PRNGKey(0))
+    code = jnp.zeros(4)
+    voxels = net.get_voxels(params, code, voxel_resolution=16, sphere_only=True)
+    assert voxels.shape == (16, 16, 16)
+    assert voxels[0, 0, 0] == 1.0  # outside the 1.1-sphere mask
+
+    pts = net.get_surface_points(params, code, sample_size=2048, key=jax.random.PRNGKey(1))
+    assert pts.ndim == 2 and pts.shape[1] == 3
