@@ -1,0 +1,266 @@
+"""Mesh → SDF ground-truth computation.
+
+Replaces the reference's external ``mesh_to_sdf`` dependency
+(/root/reference/prepare_shapenet_dataset.py:6, prepare_data.py) with an
+in-framework engine: a native C++ BVH (shapegan_tpu/native/mesh_sdf.cpp —
+exact point-to-triangle distances + 3-axis ray-parity sign, multithreaded)
+loaded through ctypes, with a vectorized numpy fallback when the shared
+library can't be built.
+
+API mirrors the pieces of mesh_to_sdf the reference uses:
+  * :class:`MeshSDF`            — repeated queries against one mesh
+  * :func:`mesh_to_voxels`      — dense [res]^3 SDF grid, unit-cube scaling
+  * :func:`sample_uniform_sdf`  — unit-sphere uniform (pos, sdf) samples
+  * :func:`sample_surface_sdf`  — jittered near-surface samples
+  * :func:`sample_sdf_near_surface` — DeepSDF-style biased cloud
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from shapegan_tpu.data.mesh_io import TriangleMesh
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmesh_sdf.so")
+_lib = None
+_lib_failed = False
+
+
+class BadMeshException(Exception):
+    """Raised when a mesh yields implausible SDF data
+    (reference prepare_shapenet_dataset.py:82-84)."""
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.mesh_sdf_create.restype = ctypes.c_void_p
+        lib.mesh_sdf_create.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.mesh_sdf_query.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.mesh_sdf_query_unsigned.argtypes = lib.mesh_sdf_query.argtypes
+        lib.mesh_sdf_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - depends on toolchain
+        print(f"mesh_sdf native build unavailable ({e}); using numpy fallback")
+        _lib_failed = True
+    return _lib
+
+
+class MeshSDF:
+    """Signed-distance oracle for one triangle mesh."""
+
+    def __init__(self, mesh: TriangleMesh, use_native: bool = True):
+        self.mesh = mesh
+        self._handle = None
+        lib = _load_native() if use_native else None
+        if lib is not None and len(mesh.faces) > 0:
+            vertices = np.ascontiguousarray(mesh.vertices, dtype=np.float32)
+            faces = np.ascontiguousarray(mesh.faces, dtype=np.int32)
+            self._lib = lib
+            self._handle = lib.mesh_sdf_create(
+                vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(vertices),
+                faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(faces),
+            )
+            # keep buffers alive for the handle's lifetime
+            self._buffers = (vertices, faces)
+
+    def __del__(self):
+        if self._handle is not None:
+            try:
+                self._lib.mesh_sdf_destroy(self._handle)
+            except Exception:
+                pass
+
+    def query(self, points: np.ndarray, signed: bool = True) -> np.ndarray:
+        points = np.ascontiguousarray(points, dtype=np.float32).reshape(-1, 3)
+        if self._handle is not None:
+            out = np.empty(points.shape[0], dtype=np.float32)
+            fn = self._lib.mesh_sdf_query if signed else self._lib.mesh_sdf_query_unsigned
+            fn(
+                self._handle,
+                points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                points.shape[0],
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out
+        return _numpy_signed_distance(self.mesh, points, signed=signed)
+
+
+# --------------------------------------------------------- numpy fallback
+
+
+def _numpy_signed_distance(mesh: TriangleMesh, points: np.ndarray, signed: bool = True,
+                           chunk: int = 2048) -> np.ndarray:
+    tri = mesh.triangles  # [F, 3, 3]
+    out = np.empty(points.shape[0], dtype=np.float32)
+    for start in range(0, points.shape[0], chunk):
+        p = points[start : start + chunk]
+        d2 = _point_triangle_dist2_batch(p, tri)
+        dist = np.sqrt(d2.min(axis=1))
+        if signed:
+            inside = _inside_by_parity(p, tri)
+            dist = np.where(inside, -dist, dist)
+        out[start : start + p.shape[0]] = dist
+    return out
+
+
+def _point_triangle_dist2_batch(points: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """[P, F] squared distances (vectorized Ericson closest-point)."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]  # [F, 3]
+    ab, ac = b - a, c - a
+    p = points[:, None, :]  # [P, 1, 3]
+    ap = p - a[None]
+    d1 = np.einsum("fk,pfk->pf", ab, ap)
+    d2 = np.einsum("fk,pfk->pf", ac, ap)
+    bp = p - b[None]
+    d3 = np.einsum("fk,pfk->pf", ab, bp)
+    d4 = np.einsum("fk,pfk->pf", ac, bp)
+    cp = p - c[None]
+    d5 = np.einsum("fk,pfk->pf", ab, cp)
+    d6 = np.einsum("fk,pfk->pf", ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom = va + vb + vc
+    denom = np.where(np.abs(denom) < 1e-20, 1e-20, denom)
+    v = vb / denom
+    w = vc / denom
+    closest = a[None] + ab[None] * v[..., None] + ac[None] * w[..., None]
+
+    # Edge/vertex regions, following the same case analysis:
+    v_ab = np.clip(d1 / np.where(d1 - d3 == 0, 1e-20, d1 - d3), 0, 1)
+    v_ac = np.clip(d2 / np.where(d2 - d6 == 0, 1e-20, d2 - d6), 0, 1)
+    denom_bc = (d4 - d3) + (d5 - d6)
+    v_bc = np.clip((d4 - d3) / np.where(denom_bc == 0, 1e-20, denom_bc), 0, 1)
+
+    closest = np.where(
+        ((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+        a[None] + ab[None] * v_ab[..., None], closest)
+    closest = np.where(
+        ((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+        a[None] + ac[None] * v_ac[..., None], closest)
+    closest = np.where(
+        ((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0))[..., None],
+        b[None] + (c - b)[None] * v_bc[..., None], closest)
+    closest = np.where(((d1 <= 0) & (d2 <= 0))[..., None], a[None], closest)
+    closest = np.where(((d3 >= 0) & (d4 <= d3))[..., None], b[None], closest)
+    closest = np.where(((d6 >= 0) & (d5 <= d6))[..., None], c[None], closest)
+
+    return np.sum((p - closest) ** 2, axis=-1)
+
+
+_PARITY_DIRS = np.array(
+    [
+        [0.8491679, 0.3717402, 0.3756200],
+        [-0.2917509, 0.9124136, 0.2877602],
+        [0.3266091, -0.2465251, 0.9124458],
+    ]
+)
+
+
+def _inside_by_parity(points: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Majority vote of three skew-direction ray-crossing parities
+    (vectorized Möller–Trumbore; same directions as the native engine)."""
+    votes = np.zeros(points.shape[0], dtype=np.int32)
+    for d in _PARITY_DIRS:
+        a, b, c = tri[:, 0].astype(np.float64), tri[:, 1].astype(np.float64), tri[:, 2].astype(np.float64)
+        e1, e2 = b - a, c - a
+        pvec = np.cross(d, e2)  # [F, 3]
+        det = np.einsum("fk,fk->f", e1, pvec)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(det == 0, 1, det), 0.0)
+        tvec = points[:, None, :].astype(np.float64) - a[None]  # [P, F, 3]
+        u = np.einsum("pfk,fk->pf", tvec, pvec) * inv[None]
+        qvec = np.cross(tvec, e1[None])
+        v = np.einsum("pfk,k->pf", qvec, d) * inv[None]
+        t = np.einsum("pfk,fk->pf", qvec, e2) * inv[None]
+        hit = ok[None] & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 1e-8)
+        votes += (hit.sum(axis=1) % 2 == 1).astype(np.int32)
+    return votes >= 2
+
+
+# ------------------------------------------------------------ sampling API
+
+
+def mesh_to_voxels(mesh: TriangleMesh, voxel_resolution: int = 32, pad: bool = False) -> np.ndarray:
+    """Dense SDF grid over [-1, 1]^3 of the unit-cube-scaled mesh
+    (reference voxel branch, prepare_shapenet_dataset.py:96-109)."""
+    from shapegan_tpu.ops.coords import voxel_coordinates
+
+    scaled = mesh.scaled_to_unit_cube()
+    oracle = MeshSDF(scaled)
+    pts = voxel_coordinates(voxel_resolution)
+    sdf = oracle.query(pts).reshape((voxel_resolution,) * 3)
+    if pad:
+        sdf = np.pad(sdf, 1, mode="constant", constant_values=1.0)
+    return sdf
+
+
+def sample_uniform_sdf(mesh: TriangleMesh, count: int, rng=None, oracle: Optional[MeshSDF] = None):
+    """Uniform unit-sphere (pos, sdf) samples of a unit-sphere-scaled mesh.
+    Raises BadMeshException when <1% of samples land inside
+    (reference :82-84)."""
+    rng = rng or np.random.default_rng()
+    direction = rng.normal(size=(count, 3))
+    direction /= np.maximum(np.linalg.norm(direction, axis=1, keepdims=True), 1e-12)
+    radius = rng.random((count, 1)) ** (1 / 3)
+    points = (direction * radius).astype(np.float32)
+    oracle = oracle or MeshSDF(mesh)
+    sdf = oracle.query(points)
+    if (sdf < 0).mean() < 0.01:
+        raise BadMeshException("less than 1% of uniform samples are inside the mesh")
+    return np.concatenate([points, sdf[:, None]], axis=1)
+
+
+def sample_surface_sdf(mesh: TriangleMesh, count: int, jitter: float = 0.04, rng=None,
+                       oracle: Optional[MeshSDF] = None, seed: Optional[int] = None):
+    """Near-surface samples: surface points + isotropic gaussian jitter,
+    re-labeled with true SDF (reference surface branch, :119-126)."""
+    rng = rng or np.random.default_rng(seed)
+    points = mesh.sample(count, seed=seed)
+    points = points + rng.normal(0, jitter, points.shape).astype(np.float32)
+    oracle = oracle or MeshSDF(mesh)
+    sdf = oracle.query(points)
+    return np.concatenate([points, sdf[:, None]], axis=1)
+
+
+def sample_sdf_near_surface(mesh: TriangleMesh, count: int = 200000, rng=None):
+    """DeepSDF-style biased cloud of a unit-sphere-scaled mesh: 47.5% surface
+    + jitter 0.0025^0.5-ish tight, 47.5% looser, 5% uniform (the mix used by
+    mesh_to_sdf.sample_sdf_near_surface which the reference calls at :128-131).
+    Returns (points [N, 3], sdf [N])."""
+    rng = rng or np.random.default_rng()
+    oracle = MeshSDF(mesh)
+    n_tight = n_loose = int(count * 0.475)
+    n_uniform = count - n_tight - n_loose
+    surface = mesh.sample(n_tight + n_loose, seed=int(rng.integers(2**31)))
+    tight = surface[:n_tight] + rng.normal(0, 0.0025**0.5, (n_tight, 3))
+    loose = surface[n_tight:] + rng.normal(0, 0.00025**0.5, (n_loose, 3))
+    direction = rng.normal(size=(n_uniform, 3))
+    direction /= np.maximum(np.linalg.norm(direction, axis=1, keepdims=True), 1e-12)
+    uniform = direction * rng.random((n_uniform, 1)) ** (1 / 3)
+    points = np.concatenate([tight, loose, uniform]).astype(np.float32)
+    sdf = oracle.query(points)
+    return points, sdf
