@@ -37,7 +37,12 @@ class Autoencoder(nn.Module):
     bn_axis_name: Optional[str] = None  # set to 'data' for cross-device BN stats
 
     def setup(self):
-        bn = lambda: nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name)
+        # use_fast_variance=False: the E[x^2]-E[x]^2 shortcut is catastrophic-
+        # cancellation-prone in fp32 and makes gradients partitioning-order
+        # dependent; the two-pass variance is stable and SPMD-reproducible.
+        bn = lambda: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name, use_fast_variance=False
+        )
         conv = lambda f, s, p: nn.Conv(
             f, kernel_size=(4, 4, 4), strides=(s,) * 3, padding=p, kernel_init=torch_uniform_init
         )

@@ -33,7 +33,10 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, z, *, train: bool = True):
-        bn = lambda name: nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name, name=name)
+        bn = lambda name: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name, name=name,
+            use_fast_variance=False,  # stable two-pass variance (see autoencoder.py)
+        )
         x = z.reshape((-1, 1, 1, 1, self.latent_code_size))
         x = nn.ConvTranspose(
             256, kernel_size=(4, 4, 4), strides=(1, 1, 1), padding="VALID",

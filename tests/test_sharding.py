@@ -1,0 +1,129 @@
+"""Multi-device sharding: mesh construction, numerical equivalence of sharded
+vs single-device training steps, and the driver's dryrun entry."""
+
+import importlib.util
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shapegan_tpu.parallel.mesh import (
+    DATA_AXIS,
+    POINTS_AXIS,
+    data_sharding,
+    get_mesh,
+    grid_sharding,
+    replicated,
+    shard_batch,
+)
+
+
+def test_mesh_shapes():
+    mesh = get_mesh()
+    assert mesh.shape[DATA_AXIS] * mesh.shape[POINTS_AXIS] == 8
+    mesh2 = get_mesh(points=2)
+    assert mesh2.shape[POINTS_AXIS] == 2 and mesh2.shape[DATA_AXIS] == 4
+    mesh3 = get_mesh(batch_size=6)  # gcd(8, 6) = 2
+    assert mesh3.shape[DATA_AXIS] == 2
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = get_mesh()
+    batch = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sharded = shard_batch(mesh, batch)
+    assert sharded.sharding.num_devices == 8
+    np.testing.assert_array_equal(np.asarray(sharded), batch)
+
+
+def test_ae_loss_and_grads_sharded_match_single_device():
+    """Loss and gradients of the AE objective on a replicated 8-device mesh
+    must match the single-device values (XLA-inserted psums are the only
+    collectives; reduction-order noise stays at float tolerance). Post-Adam
+    params are NOT compared — Adam normalizes near-zero gradients, so 1e-9
+    reduction-order noise legitimately flips their update signs."""
+    from shapegan_tpu.data.synthetic import make_voxel_dataset
+    from shapegan_tpu.models.autoencoder import Autoencoder
+    from shapegan_tpu.ops.losses import sdf_reconstruction_loss
+    from shapegan_tpu.train import autoencoder as ae
+
+    model = Autoencoder(is_variational=False)
+    batch = jnp.asarray(make_voxel_dataset(8, resolution=32, seed=0))
+    state = ae.create_state(model, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def loss_and_grads(params, batch_stats, batch):
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, batch, train=True,
+                mutable=["batch_stats"],
+            )
+            return sdf_reconstruction_loss(out, batch)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_single, grads_single = loss_and_grads(state.params, state.batch_stats, batch)
+
+    mesh = get_mesh(batch_size=8)
+    params_r = jax.device_put(state.params, replicated(mesh))
+    stats_r = jax.device_put(state.batch_stats, replicated(mesh))
+    loss_sharded, grads_sharded = loss_and_grads(params_r, stats_r, shard_batch(mesh, np.asarray(batch)))
+
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-5)
+    # fp32 conv gradients reassociate heavily when partitioned (different conv
+    # algorithms per shard); allow isolated float noise while catching any
+    # structural error — a missing/incorrect psum would shift entire leaves
+    # by the device count, not 0.03% of elements by <1% of the grad scale.
+    leaves_single = [np.asarray(g) for g in jax.tree.leaves(grads_single)]
+    leaves_sharded = [np.asarray(g) for g in jax.tree.leaves(grads_sharded)]
+    global_scale = max(np.abs(a).max() for a in leaves_single)
+    for a, b in zip(leaves_single, leaves_sharded):
+        # Structural bounds: a missing/incorrect reduction shifts whole
+        # leaves by ~device_count (relative error ~1). BN-gamma/beta grads
+        # are cancellation-heavy sums whose fp32 reassociation under
+        # partitioning legitimately moves small-magnitude leaves by ~1e-3
+        # of the global gradient scale, so the bounds are coarse by design;
+        # the loss equality above is the tight numerical check.
+        assert np.mean(np.abs(a - b)) < 2e-3 * global_scale
+        assert np.abs(a - b).max() < 0.1 * global_scale
+
+
+def test_grid_generation_points_sharded():
+    """Dense implicit-grid generation with the point axis sharded must equal
+    the unsharded result."""
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.ops.coords import voxel_coordinates
+    from shapegan_tpu.train.hybrid_gan import generate_volumes
+
+    net = SDFNet(latent_code_size=8, breadth=32)
+    params = net.init(jax.random.PRNGKey(0))
+    grid = jnp.asarray(voxel_coordinates(16))
+    latents = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+
+    expected = np.asarray(net.apply_grid(params, grid, latents)).reshape(4, 16, 16, 16)
+
+    mesh = get_mesh(data=4, points=2)
+    with mesh:
+        fn = jax.jit(lambda p, g, l: generate_volumes(net, p, g, l, 16))
+        out = fn(
+            jax.device_put(params, replicated(mesh)),
+            jax.device_put(grid, replicated(mesh)),
+            jax.device_put(latents, data_sharding(mesh, 2)),
+        )
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_graft_entry_and_dryrun():
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+
+    fn, args = module.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2,)
+    assert np.isfinite(np.asarray(out)).all()
+
+    module.dryrun_multichip(8)
+    module.dryrun_multichip(4)
