@@ -64,6 +64,13 @@ class SDFNet:
 
     # ----------------------------------------------------------- inference
 
+    @staticmethod
+    def _apply_grid_inference(params, points, latents):
+        """Forward-only grid eval: fused Pallas kernel on TPU, XLA elsewhere."""
+        from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
+
+        return apply_grid_best(params, points, latents)
+
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _evaluate_jit(self, params, points, latent_code, chunk_size):
         n = points.shape[0]
@@ -72,7 +79,7 @@ class SDFNet:
         chunks = pts.reshape(-1, chunk_size, 3)
 
         def eval_chunk(chunk):
-            return sdf_mlp.apply_grid(params, chunk, latent_code[None, :])[0]
+            return self._apply_grid_inference(params, chunk, latent_code[None, :])[0]
 
         out = jax.lax.map(eval_chunk, chunks).reshape(-1)
         return out[:n]
@@ -81,17 +88,18 @@ class SDFNet:
         """Evaluate many points for one latent code, chunked to bound memory.
 
         Replaces the reference's Python-loop ``evaluate_in_batches``
-        (sdf_net.py:63-75) with a jitted ``lax.map`` over fixed-size chunks.
+        (sdf_net.py:63-75) with a jitted ``lax.map`` over fixed-size chunks
+        of the fused inference kernel.
         """
         points = jnp.asarray(points, dtype=jnp.float32)
         if points.shape[0] <= chunk_size:
-            return sdf_mlp.apply_grid(params, points, jnp.asarray(latent_code)[None, :])[0]
+            return self._apply_grid_inference(params, points, jnp.asarray(latent_code)[None, :])[0]
         return self._evaluate_jit(params, points, jnp.asarray(latent_code), chunk_size)
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _voxels_jit(self, params, latent_code, voxel_resolution):
         pts = jnp.asarray(voxel_coordinates(voxel_resolution))
-        return sdf_mlp.apply_grid(params, pts, latent_code[None, :])[0].reshape(
+        return self._apply_grid_inference(params, pts, latent_code[None, :])[0].reshape(
             (voxel_resolution,) * 3
         )
 

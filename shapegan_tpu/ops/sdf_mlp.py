@@ -150,6 +150,36 @@ def apply_grid(params: Params, grid_points: jax.Array, latents: jax.Array, dtype
     return _body(params, pts, p1, p5, dtype)
 
 
+def apply_grid_remat(
+    params: Params,
+    grid_points: jax.Array,
+    latents: jax.Array,
+    chunk_size: int = 16384,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Differentiable grid evaluation with rematerialization, for training
+    losses over large grids.
+
+    At the flagship workload (16 x 64^3) a plain backward stores eight
+    [B, P, 256] fp32 activation tensors (~4.3 GB each) and overflows HBM.
+    Here the point axis is scanned in chunks under ``jax.checkpoint``: the
+    forward keeps only the [B, P] outputs and the backward recomputes one
+    chunk's activations at a time (+1 forward of FLOPs, bounded memory).
+    """
+    p = grid_points.shape[0]
+    pad = (-p) % chunk_size
+    pts = jnp.pad(grid_points, ((0, pad), (0, 0)))
+    chunks = pts.reshape(-1, chunk_size, 3)
+
+    @jax.checkpoint
+    def eval_chunk(params, latents, chunk):
+        return apply_grid(params, chunk, latents, dtype=dtype)  # [B, chunk]
+
+    out = jax.lax.map(lambda c: eval_chunk(params, latents, c), chunks)
+    out = jnp.moveaxis(out, 0, 1).reshape(latents.shape[0], p + pad)
+    return out[:, :p]
+
+
 def apply_indexed(
     params: Params,
     points: jax.Array,

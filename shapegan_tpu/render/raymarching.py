@@ -56,10 +56,12 @@ def _trace_chunk(kind, params, latent, points, directions, iterations, threshold
     """Advance rays for ``iterations`` steps. kind: 'primary' rays terminate
     (miss) outside the sphere; 'shadow' rays terminate above y=radius."""
 
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
+
     def body(_, state):
         points, status = state
         active = status == _ACTIVE
-        sdf = sdf_mlp.apply_grid(params, points, latent[None, :])[0] + sdf_offset
+        sdf = apply_grid_best(params, points, latent[None, :])[0] + sdf_offset
         sdf = jnp.clip(sdf, -step_clamp, step_clamp)
         step = jnp.where(active, sdf, 0.0)
         points = points + directions * step[:, None]

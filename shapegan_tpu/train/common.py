@@ -102,7 +102,13 @@ class StepProfiler:
 
     @property
     def mean_step_time(self) -> float:
-        return float(np.mean(self.times)) if self.times else float("nan")
+        """Mean over recent steps, excluding compile outliers: samples more
+        than 20x the median are dropped (first-call jit compiles)."""
+        if not self.times:
+            return float("nan")
+        times = np.asarray(self.times)
+        median = np.median(times)
+        return float(times[times <= 20 * median].mean())
 
 
 def maybe_print_slice(volume, enabled: bool, scale: float = 1.0) -> None:

@@ -62,9 +62,31 @@ D_NAME = "hybrid_gan_discriminator"
 
 
 def generate_volumes(net: SDFNet, params, grid_points, latent_codes, resolution: int):
-    """Latents [B, L] → SDF volumes [B, res, res, res] via the fused grid MLP,
-    with the point axis sharded over the mesh until the reshape."""
-    flat = net.apply_grid(params, grid_points, latent_codes)  # [B, P]
+    """Latents [B, L] → SDF volumes [B, res, res, res] via the grid MLP
+    (differentiable XLA path), point axis sharded over the mesh until the
+    reshape. Used inside generator losses, which need grads through it.
+
+    Grids at 32^3+ go through the chunked-remat path: a plain backward at
+    64^3 x batch 16 stores ~20 GB of activations (doesn't fit HBM)."""
+    from shapegan_tpu.ops import sdf_mlp
+
+    n_points = grid_points.shape[0]
+    if n_points * latent_codes.shape[0] > 2**18:
+        flat = sdf_mlp.apply_grid_remat(params, grid_points, latent_codes,
+                                        chunk_size=min(n_points, 16384))
+    else:
+        flat = net.apply_grid(params, grid_points, latent_codes)  # [B, P]
+    flat = constrain(flat, DATA_AXIS, POINTS_AXIS)
+    return flat.reshape(-1, resolution, resolution, resolution)
+
+
+def generate_volumes_inference(net: SDFNet, params, grid_points, latent_codes, resolution: int):
+    """Forward-only volume generation: on TPU this dispatches to the fused
+    Pallas kernel (ops/sdf_mlp_pallas.py) — used for the discriminator steps'
+    fake samples (stop-gradient w.r.t. the generator) and eval paths."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
+
+    flat = apply_grid_best(params, grid_points, latent_codes)
     flat = constrain(flat, DATA_AXIS, POINTS_AXIS)
     return flat.reshape(-1, resolution, resolution, resolution)
 
@@ -103,7 +125,9 @@ def make_steps(net: SDFNet, discriminator: Discriminator, g_tx, batch_size: int 
     def d_step(g_params, d_state, batch, rng):
         batch_size = batch.shape[0]
         z = jax.random.normal(rng, (batch_size, LATENT_CODE_SIZE))
-        fake = jax.lax.stop_gradient(generate_volumes(net, g_params, grid, z, resolution))
+        fake = jax.lax.stop_gradient(
+            generate_volumes_inference(net, g_params, grid, z, resolution)
+        )
 
         def fake_loss(d_params):
             out = discriminator.apply({"params": d_params}, fake)

@@ -52,7 +52,7 @@ from shapegan_tpu.train.common import (
     maybe_print_slice,
     resolve_voxel_dataset,
 )
-from shapegan_tpu.train.hybrid_gan import generate_volumes
+from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inference
 
 FADE_IN_EPOCHS = 10
 BATCH_SIZE = 16
@@ -102,7 +102,9 @@ def make_steps(net: SDFNet, discriminator: ProgressiveDiscriminator, g_tx, d_tx,
     def d_step(g_params, d_params, d_opt_state, batch, rng, fade):
         z_rng, gp_rng = jax.random.split(rng)
         z = jax.random.normal(z_rng, (batch.shape[0], LATENT_CODE_SIZE))
-        fake = jax.lax.stop_gradient(generate_volumes(net, g_params, grid, z, resolution))
+        fake = jax.lax.stop_gradient(
+            generate_volumes_inference(net, g_params, grid, z, resolution)
+        )
 
         def loss_fn(d_params):
             critic = lambda x: discriminator.apply(

@@ -35,7 +35,7 @@ from shapegan_tpu.train.common import (
     maybe_print_slice,
     resolve_voxel_dataset,
 )
-from shapegan_tpu.train.hybrid_gan import generate_volumes
+from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inference
 
 VOXEL_RESOLUTION = 32
 BATCH_SIZE = 8
@@ -54,7 +54,9 @@ def make_steps(net: SDFNet, critic: Discriminator, g_tx, batch_size: int,
     @functools.partial(jax.jit, donate_argnums=(1,))
     def critic_step(g_params, d_state, batch, rng):
         z = jax.random.normal(rng, (batch.shape[0], LATENT_CODE_SIZE))
-        fake = jax.lax.stop_gradient(generate_volumes(net, g_params, grid, z, resolution))
+        fake = jax.lax.stop_gradient(
+            generate_volumes_inference(net, g_params, grid, z, resolution)
+        )
 
         def loss_fn(d_params):
             out_fake = critic.apply({"params": d_params}, fake)
