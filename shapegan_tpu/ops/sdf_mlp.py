@@ -95,18 +95,26 @@ def _body(params: Params, x: jax.Array, p1: jax.Array, p5: jax.Array, dtype) -> 
 
     ``p1``/``p5`` are the full pre-activation inputs of layers 1 and 5
     *minus* the hidden-state term (layer 5 adds ``x @ w5h``). Shapes
-    broadcast: [..., breadth].
+    broadcast: [..., breadth]. Matmul inputs are ``dtype`` (bf16 on TPU for
+    MXU rate) but ALWAYS accumulate in fp32; activations are cast back to
+    ``dtype`` between layers and the output is fp32.
     """
+    f32 = jnp.float32
     w = {k: params[k].astype(dtype) for k in ("w2", "w3", "w4", "w5h", "w6", "w7", "w8")}
-    bias = {k: params[k].astype(dtype) for k in ("b2", "b3", "b4", "b6", "b7", "b8")}
-    x = jax.nn.relu(p1)
-    x = jax.nn.relu(jnp.dot(x, w["w2"], preferred_element_type=dtype) + bias["b2"])
-    x = jax.nn.relu(jnp.dot(x, w["w3"], preferred_element_type=dtype) + bias["b3"])
-    x = jax.nn.relu(jnp.dot(x, w["w4"], preferred_element_type=dtype) + bias["b4"])
-    x = jax.nn.relu(jnp.dot(x, w["w5h"], preferred_element_type=dtype) + p5)
-    x = jax.nn.relu(jnp.dot(x, w["w6"], preferred_element_type=dtype) + bias["b6"])
-    x = jax.nn.relu(jnp.dot(x, w["w7"], preferred_element_type=dtype) + bias["b7"])
-    x = jnp.tanh(jnp.dot(x, w["w8"], preferred_element_type=dtype) + bias["b8"])
+    bias = {k: params[k].astype(f32) for k in ("b2", "b3", "b4", "b6", "b7", "b8")}
+
+    def layer(x, wk, extra):
+        acc = jnp.dot(x, wk, preferred_element_type=f32) + extra
+        return jax.nn.relu(acc).astype(dtype)
+
+    x = jax.nn.relu(p1).astype(dtype)
+    x = layer(x, w["w2"], bias["b2"])
+    x = layer(x, w["w3"], bias["b3"])
+    x = layer(x, w["w4"], bias["b4"])
+    x = layer(x, w["w5h"], p5.astype(f32))
+    x = layer(x, w["w6"], bias["b6"])
+    x = layer(x, w["w7"], bias["b7"])
+    x = jnp.tanh(jnp.dot(x, w["w8"], preferred_element_type=f32) + bias["b8"])
     return x[..., 0]
 
 

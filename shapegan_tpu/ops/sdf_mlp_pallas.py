@@ -147,3 +147,264 @@ def apply_grid_best(params, grid_points, latents, dtype=jnp.float32):
     if jax.default_backend() == "tpu":
         return apply_grid_fused(params, grid_points, latents)
     return sdf_mlp.apply_grid(params, grid_points, latents, dtype=dtype)
+
+
+# ======================================================================
+# Custom-VJP path: fused forward + fused backward kernel for training.
+# ======================================================================
+#
+# The backward kernel recomputes each tile's activations in VMEM (nothing is
+# saved from the forward — the residuals are just the tiny fan-in
+# projections) and produces:
+#   * d_pp1/d_pp5  [P, 256]  — per-point fan-in cotangents (block per tile)
+#   * d_zz1/d_zz5  [B, 256]  — per-shape cotangents (accumulated across tiles)
+#   * dW trunk     [6, 256, 256], dB [8, 256], dW8 [256, 128]
+# all weight-shaped outputs use constant index maps, so Mosaic keeps one
+# fp32 accumulator block in VMEM across the whole sequential grid.
+# The chain through w1p/w1z/w5p/w5z (and to grid/latents) is closed in XLA.
+
+
+def _bwd_kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8_ref, g_ref,
+                dpp1_ref, dpp5_ref, dzz1_ref, dzz5_ref, dw_ref, db_ref, dw8_ref,
+                db8_ref):
+    """Backward program for one point tile, looping over shapes in-kernel.
+
+    Design notes (each constraint was hit experimentally):
+      * ALL accumulators (dpp/dzz/dw/db/dw8) are local fp32 values across the
+        in-kernel shape loop, flushed once per tile: per-row ``ref[b, :] +=``
+        masked stores serialize the VPU (measured 12x slowdown), and
+        per-(tile, shape) read-modify-writes of the weight blocks are not
+        free either.
+      * The unrolled shape loop's live activation sets exceed Mosaic's
+        DEFAULT 16 MB scoped-VMEM limit; ``vmem_limit_bytes`` is raised at
+        the pallas_call (v5e has 128 MB of physical VMEM).
+      * dzz rows are accumulated as a stacked [B, 256] block written once;
+        dw/db/dw8 use constant index maps so one fp32 block lives in VMEM
+        across the whole sequential grid.
+    """
+    f32 = jnp.float32
+    batch = zz1_ref.shape[0]
+    tile = pp1_ref.shape[0]
+    breadth = pp1_ref.shape[1]
+    cd = pp1_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dzz1_ref[:, :] = jnp.zeros_like(dzz1_ref)
+        dzz5_ref[:, :] = jnp.zeros_like(dzz5_ref)
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+        dw8_ref[:, :] = jnp.zeros_like(dw8_ref)
+        db8_ref[:, :] = jnp.zeros_like(db8_ref)
+
+    dpp1_acc = jnp.zeros((tile, breadth), f32)
+    dpp5_acc = jnp.zeros((tile, breadth), f32)
+    dw_acc = [jnp.zeros((breadth, breadth), f32) for _ in range(6)]
+    db_acc = [jnp.zeros((breadth,), f32) for _ in range(8)]
+    db8_acc = jnp.zeros((128,), f32)
+    dw8_acc = jnp.zeros((breadth, 128), f32)
+    dzz1_rows = []
+    dzz5_rows = []
+    # b8 broadcast row, hoisted: per-shape scalar extracts cross the
+    # vector/scalar boundary and serialize the pipeline.
+    b8_row = b_ref[6:7, 0:128].astype(f32)  # [1, 128], every lane = b8
+
+    # one-hot column selector for the padded head weight
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0).astype(f32)
+    contract_t = (((0,), (0,)), ((), ()))      # [T, a] x [T, b] -> [a, b]
+    contract_last = (((1,), (1,)), ((), ()))   # [T, a] x [b, a] -> [T, b]
+
+    for b in range(batch):
+        # ---- recompute forward for this (tile, shape)
+        x1 = pp1_ref[:, :].astype(f32) + zz1_ref[b, :][None, :].astype(f32)
+        h = [jax.nn.relu(x1).astype(cd)]  # h[0] = h1
+        for layer in range(3):  # w2, w3, w4 -> h2..h4
+            acc = jnp.dot(h[-1], w_ref[layer], preferred_element_type=f32) + b_ref[layer][None, :].astype(f32)
+            h.append(jax.nn.relu(acc).astype(cd))
+        x5 = (jnp.dot(h[-1], w_ref[3], preferred_element_type=f32)
+              + pp5_ref[:, :].astype(f32) + zz5_ref[b, :][None, :].astype(f32))
+        h.append(jax.nn.relu(x5).astype(cd))  # h[4] = h5
+        for layer in (4, 5):  # w6, w7 -> h6, h7
+            acc = jnp.dot(h[-1], w_ref[layer], preferred_element_type=f32) + b_ref[layer][None, :].astype(f32)
+            h.append(jax.nn.relu(acc).astype(cd))
+        z8 = jnp.dot(h[-1], w8_ref[:, :], preferred_element_type=f32)  # [T, 128]
+        out2 = jnp.tanh(z8 + b8_row)  # [T, 128]; column 0 is the real head
+
+        # ---- backward (kept 2D end-to-end: no [T]-vector relayouts)
+        gz2 = g_ref[b, :].astype(f32)[:, None] * (1.0 - out2 * out2) * col0
+        gz_mat = gz2.astype(cd)  # [T, 128], col 0 = dz8, rest 0
+        dw8_acc = dw8_acc + jax.lax.dot_general(h[6], gz_mat, contract_t,
+                                                preferred_element_type=f32)
+        db8_acc = db8_acc + jnp.sum(gz2, axis=0)  # [128]; lane 0 real
+        dh = jax.lax.dot_general(gz_mat, w8_ref[:, :], contract_last,
+                                 preferred_element_type=f32)  # [T, 256] = dh7
+
+        # layers w7 (idx 5), w6 (idx 4): h_prev = h[5], h[4]
+        for layer, h_prev, h_cur, db_row in ((5, h[5], h[6], 5), (4, h[4], h[5], 4)):
+            dz = (dh * (h_cur.astype(f32) > 0)).astype(cd)
+            dw_acc[layer] = dw_acc[layer] + jax.lax.dot_general(
+                h_prev, dz, contract_t, preferred_element_type=f32)
+            db_acc[db_row] = db_acc[db_row] + jnp.sum(dz.astype(f32), axis=0)
+            dh = jax.lax.dot_general(dz, w_ref[layer], contract_last,
+                                     preferred_element_type=f32)
+
+        # layer w5h (idx 3): dz5 also feeds the fan-in cotangents
+        dz5 = (dh * (h[4].astype(f32) > 0)).astype(cd)
+        dw_acc[3] = dw_acc[3] + jax.lax.dot_general(h[3], dz5, contract_t,
+                                                    preferred_element_type=f32)
+        dpp5_acc = dpp5_acc + dz5.astype(f32)
+        dzz5_rows.append(jnp.sum(dz5.astype(f32), axis=0))
+        dh = jax.lax.dot_general(dz5, w_ref[3], contract_last,
+                                 preferred_element_type=f32)
+
+        # layers w4 (idx 2), w3 (idx 1), w2 (idx 0)
+        for layer, h_prev, h_cur, db_row in (
+            (2, h[2], h[3], 2), (1, h[1], h[2], 1), (0, h[0], h[1], 0)
+        ):
+            dz = (dh * (h_cur.astype(f32) > 0)).astype(cd)
+            dw_acc[layer] = dw_acc[layer] + jax.lax.dot_general(
+                h_prev, dz, contract_t, preferred_element_type=f32)
+            db_acc[db_row] = db_acc[db_row] + jnp.sum(dz.astype(f32), axis=0)
+            dh = jax.lax.dot_general(dz, w_ref[layer], contract_last,
+                                     preferred_element_type=f32)
+
+        # fan-in layer 1
+        dx1 = dh * (h[0].astype(f32) > 0)
+        dpp1_acc = dpp1_acc + dx1
+        dzz1_rows.append(jnp.sum(dx1, axis=0))
+
+    dpp1_ref[:, :] = dpp1_acc
+    dpp5_ref[:, :] = dpp5_acc
+    dzz1_ref[:, :] += jnp.stack(dzz1_rows)
+    dzz5_ref[:, :] += jnp.stack(dzz5_rows)
+    dw_ref[:, :, :] += jnp.stack(dw_acc)
+    db_ref[:, :] += jnp.stack(db_acc)
+    dw8_ref[:, :] += dw8_acc
+    db8_ref[:, :] += jnp.broadcast_to(db8_acc[None, :], db8_ref.shape)
+
+
+def _projections(params, pts, latents, cd):
+    pp1 = jnp.dot(pts, params["w1p"].astype(cd), preferred_element_type=cd)
+    pp5 = jnp.dot(pts, params["w5p"].astype(cd), preferred_element_type=cd)
+    z = latents.astype(cd)
+    zz1 = (jnp.dot(z, params["w1z"].astype(cd), preferred_element_type=cd)
+           + params["b1"].astype(cd))
+    zz5 = (jnp.dot(z, params["w5z"].astype(cd), preferred_element_type=cd)
+           + params["b5"].astype(cd))
+    return pp1, pp5, zz1, zz5
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def apply_grid_trainable(params, grid_points, latents, tile: int = DEFAULT_TILE):
+    """Differentiable fused grid evaluation: Pallas forward AND backward.
+
+    Semantics match :func:`shapegan_tpu.ops.sdf_mlp.apply_grid` (bf16 trunk,
+    fp32 accumulation). Gradients flow to params, grid_points, and latents.
+    """
+    return apply_grid_fused(params, grid_points, latents, tile=tile)
+
+
+def _trainable_fwd(params, grid_points, latents, tile):
+    out = apply_grid_fused(params, grid_points, latents, tile=tile)
+    return out, (params, grid_points, latents)
+
+
+def _trainable_bwd(tile, residuals, g):
+    params, grid_points, latents = residuals
+    cd = jnp.bfloat16
+    p = grid_points.shape[0]
+    b = latents.shape[0]
+    breadth = params["w2"].shape[0]
+    pad = (-p) % tile
+    pts = jnp.pad(grid_points, ((0, pad), (0, 0))).astype(cd)
+    p_padded = p + pad
+
+    pp1, pp5, zz1, zz5 = _projections(params, pts, latents, cd)
+    w_stack = jnp.stack([params[k].astype(cd) for k in ("w2", "w3", "w4", "w5h", "w6", "w7")])
+    b_stack = jnp.stack(
+        [params["b2"], params["b3"], params["b4"], params["b6"], params["b7"],
+         jnp.zeros_like(params["b2"]),
+         jnp.full((breadth,), params["b8"][0], dtype=params["b2"].dtype),
+         jnp.zeros_like(params["b2"])]
+    ).astype(cd)
+    b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
+    w8 = jnp.pad(params["w8"].astype(cd), ((0, 0), (0, 127)))
+    g_padded = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad)))
+
+    grid = (p_padded // tile,)
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((p_padded, breadth), jnp.float32),   # d_pp1
+            jax.ShapeDtypeStruct((p_padded, breadth), jnp.float32),   # d_pp5
+            jax.ShapeDtypeStruct((b, breadth), jnp.float32),          # d_zz1
+            jax.ShapeDtypeStruct((b, breadth), jnp.float32),          # d_zz5
+            jax.ShapeDtypeStruct((6, breadth, breadth), jnp.float32),
+            jax.ShapeDtypeStruct((8, breadth), jnp.float32),
+            jax.ShapeDtypeStruct((breadth, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),  # db8 (lane 0 real)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((breadth, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((breadth, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # The unrolled in-kernel shape loop needs ~2 MB of live activation
+            # per iteration; Mosaic's default scoped-VMEM cap (16 MB) is far
+            # below the v5e's 128 MB of physical VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_padded * 17 * breadth * breadth,
+            bytes_accessed=4 * p_padded * breadth * 4 + b * p_padded * 4,
+            transcendentals=b * p_padded,
+        ),
+    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8, g_padded)
+
+    d_pp1, d_pp5, d_zz1, d_zz5, d_w, d_b, d_w8, d_b8 = outs
+    d_pp1 = d_pp1[:p]
+    d_pp5 = d_pp5[:p]
+
+    f32 = jnp.float32
+    pts32 = grid_points.astype(f32)
+    lat32 = latents.astype(f32)
+    d_params = {
+        "w1p": pts32.T @ d_pp1,
+        "w1z": lat32.T @ d_zz1,
+        "b1": jnp.sum(d_zz1, axis=0),
+        "w5p": pts32.T @ d_pp5,
+        "w5z": lat32.T @ d_zz5,
+        "b5": jnp.sum(d_zz5, axis=0),
+        "w2": d_w[0], "b2": d_b[0],
+        "w3": d_w[1], "b3": d_b[1],
+        "w4": d_w[2], "b4": d_b[2],
+        "w5h": d_w[3],
+        "w6": d_w[4], "b6": d_b[4],
+        "w7": d_w[5], "b7": d_b[5],
+        "w8": d_w8[:, :1],
+        "b8": d_b8[0, :1],
+    }
+    d_params = {k: v.astype(params[k].dtype) for k, v in d_params.items()}
+    d_grid = d_pp1 @ params["w1p"].astype(f32).T + d_pp5 @ params["w5p"].astype(f32).T
+    d_latents = d_zz1 @ params["w1z"].astype(f32).T + d_zz5 @ params["w5z"].astype(f32).T
+    return d_params, d_grid.astype(grid_points.dtype), d_latents.astype(latents.dtype)
+
+
+apply_grid_trainable.defvjp(_trainable_fwd, _trainable_bwd)
