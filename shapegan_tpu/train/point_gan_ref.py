@@ -176,6 +176,12 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
             loader = BatchLoader(
                 dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed
             )
+            if len(loader) == 0:
+                print(
+                    f"skipping curriculum stage ({num_points} pts, batch {batch_size}): "
+                    f"dataset has only {len(dataset)} shapes"
+                )
+                continue
             for epoch in range(1, stage_epochs + 1):
                 total_loss, count = 0.0, 0
                 with EpochTimer() as timer:
