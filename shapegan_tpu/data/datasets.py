@@ -56,6 +56,21 @@ class VoxelDataset:
         files = [f for f in files if os.path.exists(f)]
         return VoxelDataset(files, clamp=clamp, rescale_sdf=rescale_sdf)
 
+    def show(self, delay: float = 0.5) -> None:
+        """Cycle the dataset's volumes through the GL viewer
+        (reference datasets.py:42-50)."""
+        import time
+
+        from shapegan_tpu.render.viewer import MeshRenderer
+
+        viewer = MeshRenderer()
+        try:
+            for item in self:
+                viewer.set_voxels(item)
+                time.sleep(delay)
+        finally:
+            viewer.stop()
+
 
 class PointDataset:
     """Per-shape uniform + near-surface SDF point samples ([N, 4]: xyz + sdf)."""

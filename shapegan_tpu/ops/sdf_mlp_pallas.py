@@ -408,3 +408,34 @@ def _trainable_bwd(tile, residuals, g):
 
 
 apply_grid_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+def apply_grid_sharded(params, grid_points, latents, mesh, trainable: bool = False):
+    """Multi-chip fused grid evaluation via shard_map.
+
+    A Pallas kernel is opaque to XLA's SPMD partitioner, so for pod-scale
+    runs the kernel is wrapped in shard_map: the point axis shards over
+    'points' and the shape batch over 'data' (the evaluation is pointwise
+    independent across P and B, so per-device kernels compute exact local
+    results with no communication on the forward). Parameters are replicated;
+    shard_map's reverse-mode transpose inserts the gradient psums.
+
+    ``trainable=True`` uses the custom-VJP kernel (training); otherwise the
+    forward-only dispatch (XLA off-TPU).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from shapegan_tpu.parallel.mesh import DATA_AXIS, POINTS_AXIS
+
+    inner = (
+        (lambda p, g, l: apply_grid_trainable(p, g, l))
+        if trainable
+        else (lambda p, g, l: apply_grid_best(p, g, l))
+    )
+    fn = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(POINTS_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, POINTS_AXIS),
+    )
+    return fn(params, grid_points, latents)

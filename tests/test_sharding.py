@@ -113,6 +113,30 @@ def test_grid_generation_points_sharded():
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
 
 
+def test_apply_grid_sharded_matches_unsharded():
+    """shard_map-wrapped grid evaluation (the pod-scale path around the
+    Pallas kernel) must match the plain evaluation; reverse-mode through it
+    (psum of per-device param grads) must match the unsharded grads."""
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.ops.coords import voxel_coordinates
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_sharded
+
+    params = sdf_mlp.init(jax.random.PRNGKey(0), latent_size=16, breadth=32)
+    grid = jnp.asarray(voxel_coordinates(16))
+    lats = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    mesh = get_mesh(data=4, points=2)
+
+    expected = np.asarray(sdf_mlp.apply_grid(params, grid, lats))
+    out = np.asarray(apply_grid_sharded(params, grid, lats, mesh))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+    g_sharded = jax.grad(lambda p: jnp.sum(apply_grid_sharded(p, grid, lats, mesh) ** 2))(params)
+    g_plain = jax.grad(lambda p: jnp.sum(sdf_mlp.apply_grid(p, grid, lats) ** 2))(params)
+    scale = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(g_plain))
+    for a, b in zip(jax.tree.leaves(g_sharded), jax.tree.leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3 * scale)
+
+
 def test_graft_entry_and_dryrun():
     spec = importlib.util.spec_from_file_location(
         "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
