@@ -87,8 +87,7 @@ def create_batches(signs: np.ndarray, batch_size: int, rng: np.random.Generator)
 
 
 def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def train_step(params, latent_codes, net_opt_state, code_opt_state, points, sdf, indices):
+    def step_body(params, latent_codes, net_opt_state, code_opt_state, points, sdf, indices):
         shape_indices = indices // pointcloud_size
         batch_points = points[indices]
         batch_sdf = sdf[indices]
@@ -107,7 +106,28 @@ def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
         latent_codes = optax.apply_updates(latent_codes, code_updates)
         return params, latent_codes, net_opt_state, code_opt_state, loss
 
-    return train_step
+    train_step = jax.jit(step_body, donate_argnums=(0, 1, 2, 3))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_epoch(params, latent_codes, net_opt_state, code_opt_state, points, sdf, all_indices):
+        """One dispatch for a whole epoch: lax.scan over [num_batches, batch]
+        index arrays. A 2.8 ms step would otherwise pay a host dispatch round
+        trip per batch (SURVEY.md §3.3's hot loop is pure MLP — the epoch is
+        compute, not control flow)."""
+
+        def body(carry, indices):
+            params, latent_codes, net_opt_state, code_opt_state = carry
+            params, latent_codes, net_opt_state, code_opt_state, loss = step_body(
+                params, latent_codes, net_opt_state, code_opt_state, points, sdf, indices
+            )
+            return (params, latent_codes, net_opt_state, code_opt_state), loss
+
+        (params, latent_codes, net_opt_state, code_opt_state), losses = jax.lax.scan(
+            body, (params, latent_codes, net_opt_state, code_opt_state), all_indices
+        )
+        return params, latent_codes, net_opt_state, code_opt_state, losses
+
+    return train_step, train_epoch
 
 
 def train(config: Optional[TrainConfig] = None):
@@ -141,7 +161,7 @@ def train(config: Optional[TrainConfig] = None):
 
     net_opt_state = net_tx.init(params)
     code_opt_state = code_tx.init(latent_codes)
-    step_fn = make_train_step(net, net_tx, code_tx, pointcloud_size)
+    step_fn, epoch_fn = make_train_step(net, net_tx, code_tx, pointcloud_size)
 
     logger = CSVLogger(f"{config.plot_dir}/sdf_net_training.csv", resume=config.resume)
     first_epoch = logger.first_epoch  # reference resume convention (:49-51)
@@ -156,19 +176,32 @@ def train(config: Optional[TrainConfig] = None):
         for epoch in epochs:
             loss_values = []
             with EpochTimer() as timer:
-                for batch_index, batch in enumerate(create_batches(signs, batch_size, np_rng)):
-                    indices = jnp.asarray(batch, dtype=jnp.int32)
+                if viewer is None:
+                    # Headless fast path: the whole epoch is ONE device
+                    # dispatch (scan over the epoch's index batches).
+                    batches = np.stack(list(create_batches(signs, batch_size, np_rng)))
                     with profiler:
-                        params, latent_codes, net_opt_state, code_opt_state, loss = step_fn(
+                        params, latent_codes, net_opt_state, code_opt_state, losses = epoch_fn(
                             params, latent_codes, net_opt_state, code_opt_state,
-                            points, sdf, indices,
+                            points, sdf, jnp.asarray(batches, dtype=jnp.int32),
                         )
-                    loss_values.append(float(loss))
-                    if viewer is not None and batch_index % VIEWER_UPDATE_BATCHES == 0:
-                        code = latent_codes[np_rng.integers(model_count)]
-                        mesh_obj = net.get_mesh(params, code, voxel_resolution=64)
-                        if mesh_obj is not None:
-                            viewer.set_mesh(mesh_obj)
+                    loss_values = list(np.asarray(losses))
+                else:
+                    for batch_index, batch in enumerate(
+                        create_batches(signs, batch_size, np_rng)
+                    ):
+                        indices = jnp.asarray(batch, dtype=jnp.int32)
+                        with profiler:
+                            params, latent_codes, net_opt_state, code_opt_state, loss = step_fn(
+                                params, latent_codes, net_opt_state, code_opt_state,
+                                points, sdf, indices,
+                            )
+                        loss_values.append(float(loss))
+                        if batch_index % VIEWER_UPDATE_BATCHES == 0:
+                            code = latent_codes[np_rng.integers(model_count)]
+                            mesh_obj = net.get_mesh(params, code, voxel_resolution=64)
+                            if mesh_obj is not None:
+                                viewer.set_mesh(mesh_obj)
 
             latent_std = float(np.std(np.asarray(latent_codes).reshape(-1)))
             print(

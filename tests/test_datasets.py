@@ -1,0 +1,92 @@
+"""Dataset semantics: clamp/rescale, constructors, loader behavior."""
+
+import numpy as np
+import pytest
+
+from shapegan_tpu.data.datasets import ArrayDataset, BatchLoader, PointDataset, VoxelDataset
+from shapegan_tpu.data.synthetic import write_voxel_dataset_files
+
+
+def make_files(tmp_path, count=5, res=8):
+    d = tmp_path / "voxels_8"
+    names = write_voxel_dataset_files(str(d), count, resolution=res, seed=0)
+    return d, names
+
+
+def test_voxel_dataset_clamp_and_rescale(tmp_path):
+    d, names = make_files(tmp_path)
+    ds = VoxelDataset.glob(str(d / "*.npy"))
+    item = ds[0]
+    assert item.shape == (8, 8, 8)
+    assert item.min() >= -1.0 and item.max() <= 1.0  # clamped to ±0.1, /0.1
+
+    raw = VoxelDataset.glob(str(d / "*.npy"), rescale_sdf=False)
+    item_raw = raw[0]
+    assert abs(item_raw).max() <= 0.1 + 1e-6
+    np.testing.assert_allclose(item, item_raw / 0.1, atol=1e-6)
+
+    unclamped = VoxelDataset.glob(str(d / "*.npy"), clamp=None)
+    assert abs(unclamped[0]).max() > 0.1  # raw SDF exceeds the clamp band
+
+
+def test_voxel_dataset_from_split(tmp_path):
+    d, names = make_files(tmp_path)
+    split = tmp_path / "train.txt"
+    split.write_text("\n".join(names[:3]) + "\nmissing_id\n")
+    ds = VoxelDataset.from_split(str(d / "{:s}.npy"), str(split))
+    assert len(ds) == 3  # missing ids are dropped
+
+
+def test_voxel_dataset_glob_raises_when_empty(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        VoxelDataset.glob(str(tmp_path / "nothing" / "*.npy"))
+
+
+def test_point_dataset_from_split(tmp_path):
+    root = tmp_path / "cat"
+    (root / "uniform").mkdir(parents=True)
+    (root / "surface").mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a", "b"):
+        np.save(root / "uniform" / f"{name}.npy", rng.normal(size=(100, 4)).astype(np.float32))
+        np.save(root / "surface" / f"{name}.npy", rng.normal(size=(100, 4)).astype(np.float32))
+    (root / "train.txt").write_text("a\nb\n")
+    ds = PointDataset.from_split(str(root), "train", num_points=32)
+    uniform, surface = ds[0]
+    assert uniform.shape == (32, 4) and surface.shape == (32, 4)
+
+
+def test_batch_loader_shapes_and_drop_remainder():
+    data = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    ds = ArrayDataset(data)
+
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_remainder=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2 and all(b.shape == (4, 3) for b in batches)
+
+    loader2 = BatchLoader(ds, batch_size=4, shuffle=False, drop_remainder=False, seed=0)
+    batches2 = list(loader2)
+    assert len(batches2) == 3 and batches2[-1].shape == (2, 3)
+    np.testing.assert_array_equal(np.concatenate(batches2), data)
+
+
+def test_batch_loader_shuffles_between_epochs():
+    ds = ArrayDataset(np.arange(64, dtype=np.float32).reshape(64, 1))
+    loader = BatchLoader(ds, batch_size=64, shuffle=True, seed=0)
+    first = next(iter(loader)).reshape(-1)
+    second = next(iter(loader)).reshape(-1)
+    assert not np.array_equal(first, second)
+    np.testing.assert_array_equal(np.sort(first), np.sort(second))
+
+
+def test_batch_loader_tuple_collation():
+    class PairDataset:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return np.full((2,), i, np.float32), np.full((3,), -i, np.float32)
+
+    loader = BatchLoader(PairDataset(), batch_size=3, shuffle=False)
+    a, b = next(iter(loader))
+    assert a.shape == (3, 2) and b.shape == (3, 3)

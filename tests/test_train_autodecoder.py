@@ -40,7 +40,7 @@ def test_autodecoder_converges_on_sphere():
     code_tx = optax.adam(1e-3)
     net_opt = net_tx.init(params)
     code_opt = code_tx.init(codes)
-    step = ad.make_train_step(net, net_tx, code_tx, pointcloud_size=4000)
+    step, epoch_fn = ad.make_train_step(net, net_tx, code_tx, pointcloud_size=4000)
 
     points_j, sdf_j = jnp.asarray(pts), jnp.asarray(sdf)
     losses = []
@@ -52,6 +52,14 @@ def test_autodecoder_converges_on_sphere():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
     assert np.isfinite(losses[-1])
+
+    # the scanned-epoch fast path must keep training from where we are
+    batches = jnp.asarray(rng.integers(0, 4000, (10, 2000)), dtype=jnp.int32)
+    params, codes, net_opt, code_opt, epoch_losses = epoch_fn(
+        params, codes, net_opt, code_opt, points_j, sdf_j, batches
+    )
+    assert epoch_losses.shape == (10,)
+    assert float(epoch_losses[-1]) <= losses[-1] * 1.1
 
 
 def test_full_loop_saves_net_and_latents(tmp_path, monkeypatch):
