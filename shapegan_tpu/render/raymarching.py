@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shapegan_tpu.ops import sdf_mlp
+
 from shapegan_tpu.render.camera import camera_position_from_transform, get_camera_transform
 from shapegan_tpu.util import ensure_directory
 

@@ -13,7 +13,7 @@ along the 'data' mesh axis; gradient reduction is an XLA psum over ICI.
 from __future__ import annotations
 
 import functools
-from itertools import count, islice
+from itertools import count
 from typing import Any, Optional
 
 import jax

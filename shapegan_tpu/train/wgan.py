@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from shapegan_tpu import LATENT_CODE_SIZE, checkpoints
+from shapegan_tpu import LATENT_CODE_SIZE
 from shapegan_tpu.core.config import TrainConfig, parse_cli
 from shapegan_tpu.data.datasets import BatchLoader
 from shapegan_tpu.models.gan import Discriminator, Generator, clip_parameters

@@ -6,7 +6,7 @@ import sys
 
 import numpy as np
 import jax
-import pytest
+
 
 
 def test_catmull_rom_interpolates_through_controls():

@@ -1,7 +1,7 @@
 """Mesh extraction, mesh IO, binary voxel meshing and the raymarcher,
 verified against analytic SDFs."""
 
-import os
+
 
 import numpy as np
 import jax

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from shapegan_tpu import checkpoints
-from shapegan_tpu.core.config import TrainConfig, parse_cli
+from shapegan_tpu.core.config import parse_cli
 from shapegan_tpu.metrics import (
     chamfer_distance,
     coverage,

@@ -3,7 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from shapegan_tpu.models.autoencoder import Autoencoder
 from shapegan_tpu.models.gan import Generator, Discriminator, clip_parameters
