@@ -35,7 +35,11 @@ import numpy as np
 from shapegan_tpu.render.camera import camera_position_from_transform, get_camera_transform
 from shapegan_tpu.util import ensure_directory
 
-TRACE_CHUNK_ITERS = 25
+# Iterations per jitted chunk between host-side compactions. Larger chunks
+# waste lanes on finished rays but cut host round trips: at the reference
+# render settings (800^2, ssaa 2, 1000 iters) a full chair render measured
+# 151 s at 25, 95.6 s at 50, 33.5 s at 100 through the remote TPU link.
+TRACE_CHUNK_ITERS = 100
 
 
 def get_default_coordinates():
