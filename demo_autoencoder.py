@@ -48,7 +48,12 @@ def main():
     order = rng.permutation(len(dataset))
     previous = encode(jnp.asarray(dataset[int(order[0])]))
 
-    for index in order[1:]:
+    # headless runs bound the tour (epochs=N transitions); viewer runs loop on
+    transitions = order[1:]
+    if viewer is None and config.epochs:
+        transitions = transitions[: config.epochs]
+
+    for index in transitions:
         target = encode(jnp.asarray(dataset[int(index)]))
         for frame in range(TRANSITION_FRAMES):
             t = frame / TRANSITION_FRAMES
@@ -58,8 +63,6 @@ def main():
                 time.sleep(1 / 30)
         maybe_print_slice(voxels, config.show_slice)
         previous = target
-        if viewer is None and config.epochs and int(index) > config.epochs:
-            break
     if viewer is not None:
         viewer.stop()
 
