@@ -45,7 +45,10 @@ def main():
     codes = checkpoints.load_array(LATENT_CODES_FILENAME, base=config.model_dir)
 
     print("computing t-SNE embedding...")
-    embedded = TSNE(n_components=2, random_state=config.seed).fit_transform(codes)
+    perplexity = min(30.0, max(2.0, (len(codes) - 1) / 3))
+    embedded = TSNE(
+        n_components=2, random_state=config.seed, perplexity=perplexity
+    ).fit_transform(codes)
     kmeans = KMeans(n_clusters=min(clusters, len(codes)), random_state=config.seed, n_init=10)
     kmeans.fit(codes)
     # Greedy nearest-neighbor tour through the cluster centers.
