@@ -104,7 +104,8 @@ def tsne(args, config):
     from shapegan_tpu.models import LATENT_CODES_FILENAME
 
     codes = checkpoints.load_array(LATENT_CODES_FILENAME, base=config.model_dir)
-    embedded = TSNE(n_components=2, random_state=0).fit_transform(codes)
+    perplexity = min(30.0, max(2.0, (len(codes) - 1) / 3))
+    embedded = TSNE(n_components=2, random_state=0, perplexity=perplexity).fit_transform(codes)
     labels = KMeans(n_clusters=min(10, len(codes)), n_init=10, random_state=0).fit_predict(codes)
     fig, ax = plt.subplots(figsize=(6, 6))
     ax.scatter(embedded[:, 0], embedded[:, 1], c=labels, cmap="tab10", s=6)
