@@ -410,6 +410,25 @@ def _trainable_bwd(tile, residuals, g):
 apply_grid_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
+# Trace-time counter: lets tests and the driver dryrun assert that the
+# shard_map path (not a replicated fallback) was actually taken.
+sharded_call_count = 0
+
+
+def _trainable_dispatch(params, grid_points, latents):
+    """Per-shard trainable evaluation: fused custom-VJP Pallas kernel on TPU,
+    XLA (remat-chunked when large) elsewhere — the same dispatch the
+    single-device trainers use (train/hybrid_gan.generate_volumes)."""
+    if jax.default_backend() == "tpu":
+        return apply_grid_trainable(params, grid_points, latents)
+    n_points = grid_points.shape[0]
+    if n_points * latents.shape[0] > 2**18:
+        return sdf_mlp.apply_grid_remat(
+            params, grid_points, latents, chunk_size=min(n_points, 16384)
+        )
+    return sdf_mlp.apply_grid(params, grid_points, latents)
+
+
 def apply_grid_sharded(params, grid_points, latents, mesh, trainable: bool = False):
     """Multi-chip fused grid evaluation via shard_map.
 
@@ -421,17 +440,18 @@ def apply_grid_sharded(params, grid_points, latents, mesh, trainable: bool = Fal
     shard_map's reverse-mode transpose inserts the gradient psums.
 
     ``trainable=True`` uses the custom-VJP kernel (training); otherwise the
-    forward-only dispatch (XLA off-TPU).
+    forward-only dispatch. Off-TPU both fall back to the numerically
+    equivalent XLA path per shard, so CPU dryruns compile and execute the
+    exact same shard_map program structure a TPU pod would.
     """
     from jax.sharding import PartitionSpec as P
 
     from shapegan_tpu.parallel.mesh import DATA_AXIS, POINTS_AXIS
 
-    inner = (
-        (lambda p, g, l: apply_grid_trainable(p, g, l))
-        if trainable
-        else (lambda p, g, l: apply_grid_best(p, g, l))
-    )
+    global sharded_call_count
+    sharded_call_count += 1
+
+    inner = _trainable_dispatch if trainable else (lambda p, g, l: apply_grid_best(p, g, l))
     fn = jax.shard_map(
         inner,
         mesh=mesh,

@@ -56,6 +56,19 @@ def get_mesh(
     return Mesh(dev_array, (DATA_AXIS, POINTS_AXIS))
 
 
+def ambient_mesh() -> Optional[Mesh]:
+    """The mesh installed by the innermost ``with mesh:`` block, or None.
+
+    Trainers run their jitted steps inside ``with mesh:``; ops use this to
+    decide whether to route through shard_map (a Pallas custom call is opaque
+    to XLA's SPMD partitioner, so multi-device grids must be sharded
+    explicitly — see ops/sdf_mlp_pallas.apply_grid_sharded)."""
+    from jax._src import mesh as mesh_lib
+
+    physical = mesh_lib.thread_resources.env.physical_mesh
+    return None if physical.empty else physical
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard axis 0 over 'data', replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

@@ -61,21 +61,44 @@ G_NAME = "hybrid_gan_generator"
 D_NAME = "hybrid_gan_discriminator"
 
 
-def generate_volumes(net: SDFNet, params, grid_points, latent_codes, resolution: int):
-    """Latents [B, L] → SDF volumes [B, res, res, res] via the grid MLP
-    (differentiable XLA path), point axis sharded over the mesh until the
-    reshape. Used inside generator losses, which need grads through it.
+def _shardable_mesh(grid_points, latent_codes):
+    """The ambient multi-device mesh if the workload divides onto it: the
+    Pallas kernel is opaque to XLA's SPMD partitioner, so any multi-device
+    run must route the grid evaluation through shard_map explicitly
+    (point axis over 'points', shape batch over 'data')."""
+    from shapegan_tpu.parallel.mesh import ambient_mesh
 
-    Grids at 32^3+ go through the chunked-remat path: a plain backward at
-    64^3 x batch 16 stores ~20 GB of activations (doesn't fit HBM)."""
+    mesh = ambient_mesh()
+    if (
+        mesh is not None
+        and mesh.size > 1
+        and grid_points.shape[0] % mesh.shape[POINTS_AXIS] == 0
+        and latent_codes.shape[0] % mesh.shape[DATA_AXIS] == 0
+    ):
+        return mesh
+    return None
+
+
+def generate_volumes(net: SDFNet, params, grid_points, latent_codes, resolution: int):
+    """Latents [B, L] → SDF volumes [B, res, res, res] via the grid MLP,
+    point axis sharded over the mesh until the reshape. Used inside generator
+    losses, which need grads through it.
+
+    Multi-device: shard_map around the fused kernel (point axis over
+    'points', batch over 'data'; shard_map's transpose inserts the param-grad
+    psums). Single-device TPU: the fused custom-VJP Pallas kernel directly.
+    Grids at 32^3+ off-TPU go through the chunked-remat path: a plain
+    backward at 64^3 x batch 16 stores ~20 GB of activations (doesn't fit)."""
     from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_sharded, apply_grid_trainable
 
     n_points = grid_points.shape[0]
-    if jax.default_backend() == "tpu":
+    mesh = _shardable_mesh(grid_points, latent_codes)
+    if mesh is not None:
+        flat = apply_grid_sharded(params, grid_points, latent_codes, mesh, trainable=True)
+    elif jax.default_backend() == "tpu":
         # Fused Pallas forward + backward (custom VJP): 66 ms fwd+bwd at the
         # flagship 16x64^3 workload vs 208 ms for chunked-remat XLA bf16.
-        from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_trainable
-
         flat = apply_grid_trainable(params, grid_points, latent_codes)
     elif n_points * latent_codes.shape[0] > 2**18:
         # Large grids off-TPU: chunked remat bounds activation memory.
@@ -90,10 +113,15 @@ def generate_volumes(net: SDFNet, params, grid_points, latent_codes, resolution:
 def generate_volumes_inference(net: SDFNet, params, grid_points, latent_codes, resolution: int):
     """Forward-only volume generation: on TPU this dispatches to the fused
     Pallas kernel (ops/sdf_mlp_pallas.py) — used for the discriminator steps'
-    fake samples (stop-gradient w.r.t. the generator) and eval paths."""
-    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
+    fake samples (stop-gradient w.r.t. the generator) and eval paths. On a
+    multi-device mesh the kernel runs per-shard under shard_map."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best, apply_grid_sharded
 
-    flat = apply_grid_best(params, grid_points, latent_codes)
+    mesh = _shardable_mesh(grid_points, latent_codes)
+    if mesh is not None:
+        flat = apply_grid_sharded(params, grid_points, latent_codes, mesh)
+    else:
+        flat = apply_grid_best(params, grid_points, latent_codes)
     flat = constrain(flat, DATA_AXIS, POINTS_AXIS)
     return flat.reshape(-1, resolution, resolution, resolution)
 
