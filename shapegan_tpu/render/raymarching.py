@@ -6,19 +6,28 @@ analytic ray/unit-sphere entry, iterative SDF stepping with step clamp ±0.02,
 autograd surface normals, 200-step shadow rays, diffuse/specular(p20)/rim(p4)
 shading, ground-plane shadows, SSAA downsampling.
 
-TPU-native trace loop
----------------------
+TPU-native render pipeline
+--------------------------
 The reference compacts active rays with fancy indexing every iteration
-(raymarching.py:112-117) — dynamic shapes, impossible under jit. We use a
-two-level scheme instead:
+(raymarching.py:112-117) and shades on the host — dynamic shapes and ~30
+device round trips per frame. Here the ENTIRE frame is one jitted device
+program (`_render_pixels`): ray generation, the primary trace, surface
+normals (reverse-mode through the fused kernel), shadow rays, shading, and
+the ground-shadow pass all stay on device; only the final uint8 pixel block
+crosses the host link. Within a trace:
 
-  * an inner **jitted** `lax.fori_loop` advances a fixed-size ray bucket for
-    K iterations with convergence handled by masking (finished lanes keep
-    riding at zero step);
-  * an outer host loop compacts surviving rays every K iterations and pads
-    them to the next power-of-two bucket, so the jit cache stays small
-    (~log2(ray count) entries) while dead lanes are dropped at a 2x
-    granularity — the static-shape answer to index compaction.
+  * staged `lax.fori_loop`s advance all lanes with convergence handled by
+    masking (finished lanes ride at zero step);
+  * on-device compaction (`jnp.nonzero(active, size=n//k)`) gathers
+    survivors into static smaller buckets between stages (truncated
+    stragglers keep their ACTIVE status, which — like budget exhaustion in
+    the reference :122 — renders as a hit at the current point);
+  * a `lax.while_loop` with an any-active early-exit predicate runs the
+    long tail, and results scatter back through the index maps.
+
+Measured at the reference settings (800², ssaa 2, ≤1000 iterations, shadow
+rays + ground shadows): 33.5 s/frame with round 1's host-compaction loop →
+single-dispatch pipeline (this file) through the same remote TPU link.
 """
 
 from __future__ import annotations
@@ -35,11 +44,10 @@ import numpy as np
 from shapegan_tpu.render.camera import camera_position_from_transform, get_camera_transform
 from shapegan_tpu.util import ensure_directory
 
-# Iterations per jitted chunk between host-side compactions. Larger chunks
-# waste lanes on finished rays but cut host round trips: at the reference
-# render settings (800^2, ssaa 2, 1000 iters) a full chair render measured
-# 151 s at 25, 95.6 s at 50, 33.5 s at 100 through the remote TPU link.
-TRACE_CHUNK_ITERS = 100
+# Masked full-width iterations before the first/second on-device compaction.
+# 100 ≈ the step budget to cross the unit sphere at the ±0.02 step clamp, so
+# by the first compaction nearly all non-grazing rays have hit or exited.
+STAGE_ITERS = 100
 
 
 def get_default_coordinates():
@@ -54,64 +62,141 @@ CAMERA_POSITION, LIGHT_POSITION = get_default_coordinates()
 _ACTIVE, _HIT, _MISS = 0, 1, 2
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
-def _trace_chunk(kind, params, latent, points, directions, iterations, threshold,
-                 step_clamp, sdf_offset, radius):
-    """Advance rays for ``iterations`` steps. kind: 'primary' rays terminate
-    (miss) outside the sphere; 'shadow' rays terminate above y=radius."""
+def _trace_staged(kind, params, latent, points, directions, status, budget,
+                  threshold, step_clamp, sdf_offset, radius, schedule):
+    """Trace rays to completion on device. ``schedule`` is a static tuple of
+    (iterations, bucket_size): after each stage's masked iterations the
+    surviving ACTIVE lanes are compacted into a ``bucket_size`` bucket; the
+    final stage is an early-exit while_loop. Returns (points, status).
 
+    kind: 'primary' rays terminate (miss) outside the bounding sphere;
+    'shadow' rays terminate above y=radius."""
     from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
 
-    def body(_, state):
-        points, status = state
-        active = status == _ACTIVE
-        sdf = apply_grid_best(params, points, latent[None, :])[0] + sdf_offset
-        sdf = jnp.clip(sdf, -step_clamp, step_clamp)
-        step = jnp.where(active, sdf, 0.0)
-        points = points + directions * step[:, None]
-        hits = active & (sdf > 0) & (sdf < threshold)
-        if kind == "shadow":
-            misses = active & (points[:, 1] > radius)
-        else:
-            misses = active & (jnp.linalg.norm(points, axis=1) > radius)
-        status = jnp.where(hits, _HIT, jnp.where(misses, _MISS, status))
+    def make_body(dirs):
+        def body(points, status):
+            active = status == _ACTIVE
+            sdf = apply_grid_best(params, points, latent[None, :])[0] + sdf_offset
+            sdf = jnp.clip(sdf, -step_clamp, step_clamp)
+            points = points + dirs * jnp.where(active, sdf, 0.0)[:, None]
+            hits = active & (sdf > 0) & (sdf < threshold)
+            if kind == "shadow":
+                misses = active & (points[:, 1] > radius)
+            else:
+                misses = active & (jnp.linalg.norm(points, axis=1) > radius)
+            status = jnp.where(hits, _HIT, jnp.where(misses, _MISS, status))
+            return points, status
+
+        return body
+
+    def run_fori(k, points, dirs, status):
+        body = make_body(dirs)
+        return jax.lax.fori_loop(0, k, lambda _, s: body(*s), (points, status))
+
+    def run_while(b, points, dirs, status):
+        body = make_body(dirs)
+        _, points, status = jax.lax.while_loop(
+            lambda s: (s[0] < b) & jnp.any(s[2] == _ACTIVE),
+            lambda s: (s[0] + 1,) + body(s[1], s[2]),
+            (0, points, status),
+        )
         return points, status
 
-    status0 = jnp.zeros(points.shape[0], dtype=jnp.int32)
-    return jax.lax.fori_loop(0, iterations, body, (points, status0))
+    if budget <= 0:
+        return points, status
+    if not schedule:
+        return run_while(budget, points, directions, status)
+
+    (k, size), rest = schedule[0], schedule[1:]
+    k = min(k, budget)
+    points, status = run_fori(k, points, directions, status)
+    budget -= k
+    if budget <= 0:
+        return points, status
+
+    n = points.shape[0]
+    size = max(512, min(size, n))
+    if size >= n:
+        return _trace_staged(kind, params, latent, points, directions, status,
+                             budget, threshold, step_clamp, sdf_offset, radius, rest)
+
+    # Compact ACTIVE lanes into the static bucket. Overflow lanes (rare
+    # grazers beyond `size`) keep riding as ACTIVE in the source arrays and
+    # fall out as hits, exactly like budget exhaustion.
+    idx = jnp.nonzero(status == _ACTIVE, size=size, fill_value=n)[0]
+    pts_c = jnp.take(points, idx, axis=0, mode="fill", fill_value=2.0 * radius + 1.0)
+    dirs_c = jnp.take(directions, idx, axis=0, mode="fill", fill_value=0.0)
+    status_c = jnp.where(idx < n, _ACTIVE, _MISS)
+
+    pts_c, status_c = _trace_staged(kind, params, latent, pts_c, dirs_c, status_c,
+                                    budget, threshold, step_clamp, sdf_offset, radius, rest)
+
+    # Fill lanes carry idx == n and are dropped by the scatter.
+    return (
+        points.at[idx].set(pts_c, mode="drop"),
+        status.at[idx].set(status_c, mode="drop"),
+    )
+
+
+def _default_schedule(kind, n, iterations):
+    if n <= 2048 or iterations <= STAGE_ITERS:
+        return ()
+    if kind == "shadow":
+        # Shadow rays re-hit within a few steps or escape at the 0.1 clamp
+        # in ~20-40 steps; compact early.
+        return ((40, -(-n // 4)),)
+    return ((STAGE_ITERS, -(-n // 2)), (STAGE_ITERS, -(-n // 8)), (200, -(-n // 32)))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+def _trace_rays(kind, params, latent, points, directions, iterations, threshold,
+                step_clamp, sdf_offset, radius):
+    """Standalone single-dispatch trace over explicit rays (all start ACTIVE)."""
+    status = jnp.zeros(points.shape[0], dtype=jnp.int32)
+    return _trace_staged(
+        kind, params, latent, points, directions, status, iterations,
+        threshold, step_clamp, sdf_offset, radius,
+        _default_schedule(kind, points.shape[0], iterations),
+    )
 
 
 def _bucketed_trace(kind, params, latent, points, directions, iterations, threshold,
                     step_clamp, sdf_offset, radius):
-    """Outer host loop: run jitted chunks, compact survivors, pad to
-    power-of-two buckets. Returns (final points, hit mask) for all rays."""
+    """Host wrapper: pad rays to a power-of-two bucket (bounded jit cache),
+    run the single-dispatch staged trace, unpad. Returns (points, hit)."""
     n = points.shape[0]
-    points = np.asarray(points, dtype=np.float32).copy()
-    final_status = np.full(n, _ACTIVE, dtype=np.int32)
-    active_idx = np.arange(n)
-    directions = np.asarray(directions, dtype=np.float32)
-    remaining = iterations
-
-    while remaining > 0 and active_idx.size >= 2:
-        k = min(TRACE_CHUNK_ITERS, remaining)
-        bucket = 1 << max(7, (active_idx.size - 1).bit_length())
-        pad = bucket - active_idx.size
-        pts = np.concatenate([points[active_idx], np.full((pad, 3), 2.0 * radius + 1.0, np.float32)])
-        dirs = np.concatenate([directions[active_idx], np.zeros((pad, 3), np.float32)])
-        new_pts, status = _trace_chunk(
-            kind, params, jnp.asarray(latent), jnp.asarray(pts), jnp.asarray(dirs),
-            k, threshold, step_clamp, sdf_offset, radius,
-        )
-        new_pts = np.asarray(new_pts[: active_idx.size])
-        status = np.asarray(status[: active_idx.size])
-        points[active_idx] = new_pts
-        final_status[active_idx] = status
-        active_idx = active_idx[status == _ACTIVE]
-        remaining -= k
-
+    bucket = 1 << max(7, (n - 1).bit_length())
+    pad = bucket - n
+    pts = np.concatenate(
+        [np.asarray(points, np.float32), np.full((pad, 3), 2.0 * radius + 1.0, np.float32)]
+    )
+    dirs = np.concatenate([np.asarray(directions, np.float32), np.zeros((pad, 3), np.float32)])
+    traced, status = _trace_rays(
+        kind, params, jnp.asarray(latent), jnp.asarray(pts), jnp.asarray(dirs),
+        iterations, threshold, step_clamp, sdf_offset, radius,
+    )
+    traced = np.asarray(traced[:n])
+    status = np.asarray(status[:n])
     # Rays still active after the budget count as hits (reference :122).
-    hit = (final_status == _HIT) | (final_status == _ACTIVE)
-    return points, hit
+    hit = (status == _HIT) | (status == _ACTIVE)
+    return traced, hit
+
+
+def _points_gradient(params, points, latent):
+    """∇_p SDF(p, z) for every point, batched: reverse mode through the fused
+    custom-VJP kernel on TPU, chunked-remat XLA elsewhere."""
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_trainable
+
+    if jax.default_backend() == "tpu":
+        f = lambda q: jnp.sum(apply_grid_trainable(params, q, latent[None, :]))
+    elif points.shape[0] > 2**16:
+        f = lambda q: jnp.sum(
+            sdf_mlp.apply_grid_remat(params, q, latent[None, :], chunk_size=16384)
+        )
+    else:
+        f = lambda q: jnp.sum(sdf_mlp.apply_grid(params, q, latent[None, :]))
+    return jax.grad(f)(points)
 
 
 def get_normals(net, params, latent_code, points, batch_size: int = 262144):
@@ -141,6 +226,122 @@ def get_shadows(net, params, latent_code, points, light_position, threshold: flo
     return hit.astype(np.float32)
 
 
+def _shadow_factor(params, latent, points, mask, light_position, threshold,
+                   sdf_offset, radius, n_bucket):
+    """On-device shadow test for the masked lanes: 1.0 where the 200-step ray
+    toward the light re-hits the shape (or is still active — reference :122)."""
+    directions = light_position[None, :] - points
+    directions = directions / jnp.linalg.norm(directions, axis=1, keepdims=True)
+    start = points + directions * 0.1
+    status = jnp.where(mask, _ACTIVE, _MISS)
+    n = points.shape[0]
+    # A zero-iteration leading stage compacts the masked lanes into a 5n/8
+    # bucket BEFORE any SDF evaluation (the mask rarely covers more than half
+    # the frame; overflow lanes stay ACTIVE and render shadowed, the same
+    # approximation as budget exhaustion).
+    schedule = ((0, -(-5 * n // 8)), (40, n_bucket)) if n > 2048 else ()
+    _, status = _trace_staged(
+        "shadow", params, latent, start, directions, status, 200,
+        threshold, 0.1, sdf_offset, radius, schedule,
+    )
+    return ((status == _HIT) | (status == _ACTIVE)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "size", "iterations", "threshold", "sdf_offset", "radius",
+        "vertical_cutoff", "color",
+    ),
+)
+def _render_pixels(params, latent, camera_position, camera_right, camera_up,
+                   camera_forward, light_position, *, size, iterations, threshold,
+                   sdf_offset, radius, vertical_cutoff, color):
+    """One frame, fully on device: returns [size, size, 3] uint8 pixels."""
+    n = size * size
+    f32 = jnp.float32
+
+    # Per-pixel rays (reference :68-91; x fastest within rows).
+    lin = jnp.linspace(-1.0, 1.0, size, dtype=f32)
+    u, v = jnp.meshgrid(lin, lin)
+    uv = jnp.stack([u.reshape(-1), v.reshape(-1)], axis=1)
+    camera_distance = jnp.linalg.norm(camera_position)
+    focal = 1.0 / jnp.tan(jnp.arcsin(radius / camera_distance))
+    ray_directions = (
+        uv[:, 0:1] * camera_right[None, :]
+        + uv[:, 1:2] * camera_up[None, :]
+        + focal * camera_forward[None, :]
+    )
+    ray_directions = ray_directions / jnp.linalg.norm(ray_directions, axis=1, keepdims=True)
+    points = jnp.broadcast_to(camera_position[None, :], (n, 3)).astype(f32)
+
+    # Analytic entry into the bounding sphere (reference :93-98).
+    b = 2.0 * jnp.einsum("ij,ij->i", points, ray_directions)
+    c = jnp.dot(camera_position, camera_position) - radius * radius
+    disc = b * b - 4.0 * c
+    entered = disc >= 0
+    dist = jnp.where(entered, (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / 2.0, 0.0)
+    points = points + ray_directions * dist[:, None]
+
+    # Primary trace: non-entered lanes start as misses.
+    status = jnp.where(entered, _ACTIVE, _MISS)
+    points, status = _trace_staged(
+        "primary", params, latent, points, ray_directions, status, iterations,
+        threshold, 0.02, sdf_offset, radius,
+        _default_schedule("primary", n, iterations),
+    )
+    model_mask = (status == _HIT) | (status == _ACTIVE)
+    if vertical_cutoff is not None:
+        model_mask &= jnp.abs(points[:, 1]) <= vertical_cutoff
+    any_hit = jnp.any(model_mask)
+
+    # Surface normals for every lane (cost ≈ 3 forward evals — negligible
+    # next to the trace), masked at use sites.
+    normal = _points_gradient(params, points, latent)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=1, keepdims=True), 1e-12)
+
+    seen_by_light = 1.0 - _shadow_factor(
+        params, latent, points, model_mask, light_position,
+        0.001, sdf_offset, radius, -(-n // 4),
+    )
+
+    light_direction = light_position[None, :] - points
+    light_direction = light_direction / jnp.linalg.norm(light_direction, axis=1, keepdims=True)
+
+    diffuse = jnp.clip(jnp.einsum("ij,ij->i", light_direction, normal), 0, 1) * seen_by_light
+
+    reflect = light_direction - 2.0 * jnp.einsum(
+        "ij,ij->i", light_direction, normal
+    )[:, None] * normal
+    reflect = reflect / jnp.maximum(jnp.linalg.norm(reflect, axis=1, keepdims=True), 1e-12)
+    specular = jnp.clip(jnp.einsum("ij,ij->i", reflect, ray_directions), 0, 1)
+    specular = jnp.power(specular, 20) * seen_by_light
+    rim = 1.0 - jnp.clip(-jnp.einsum("ij,ij->i", normal, ray_directions), 0, 1)
+    rim = jnp.power(rim, 4) * 0.3
+
+    shaded = jnp.asarray(color, f32)[None, :] * (diffuse * 0.5 + 0.5)[:, None]
+    shaded = shaded + (specular * 0.3 + rim)[:, None]
+    pixels = jnp.where(model_mask[:, None], jnp.clip(shaded, 0, 1), 1.0)
+
+    # Ground-plane shadow pass (reference :156-167).
+    ground_plane = jnp.min(jnp.where(model_mask, points[:, 1], jnp.inf))
+    ground = (ray_directions[:, 1] < 0) & ~model_mask & any_hit
+    t = (points[:, 1] - ground_plane) / jnp.where(
+        ray_directions[:, 1] < 0, ray_directions[:, 1], -1.0
+    )
+    g_pts = points - ray_directions * t[:, None]
+    near = jnp.sqrt(g_pts[:, 0] ** 2 + g_pts[:, 2] ** 2) < 3
+    ground &= near
+    ground_shadow = _shadow_factor(
+        params, latent, jnp.where(ground[:, None], g_pts, 2.0 + radius), ground,
+        light_position, 0.001, sdf_offset, 1.0, -(-n // 4),
+    )
+    pixels = pixels - jnp.where(ground, (1.0 - 0.65) * ground_shadow, 0.0)[:, None]
+
+    pixels = jnp.clip(pixels, 0.0, 1.0).reshape(size, size, 3)
+    return jnp.round(pixels * 255.0).astype(jnp.uint8)
+
+
 def render_image(
     net,
     params,
@@ -155,12 +356,15 @@ def render_image(
     color=(0.8, 0.1, 0.1),
     vertical_cutoff=None,
 ):
-    """Render one latent code to a PIL image (reference render_image parity)."""
+    """Render one latent code to a PIL image (reference render_image parity).
+
+    The whole frame — rays, trace, normals, shadows, shading, ground pass —
+    is a single jitted device dispatch; the host only receives uint8 pixels
+    and applies the SSAA Lanczos downsample (PIL, matching the reference)."""
     from PIL import Image
 
     camera_position = CAMERA_POSITION
     camera_forward = -camera_position / np.linalg.norm(camera_position)
-    camera_distance = float(np.linalg.norm(camera_position))
     up = np.array([0.0, 1.0, 0.0])
     camera_right = np.cross(camera_forward, up)
     camera_right /= np.linalg.norm(camera_right)
@@ -168,97 +372,32 @@ def render_image(
     camera_up /= np.linalg.norm(camera_up)
 
     size = resolution * ssaa
-    u, v = np.meshgrid(np.linspace(-1, 1, size), np.linspace(-1, 1, size))
-    uv = np.stack([u, v]).reshape(2, -1).T  # [N, 2], x fastest within rows
-
-    focal = 1.0 / math.tan(math.asin(radius / camera_distance))
-    ray_directions = (
-        uv[:, 0:1] * camera_right[None, :]
-        + uv[:, 1:2] * camera_up[None, :]
-        + focal * camera_forward[None, :]
-    ).astype(np.float32)
-    ray_directions /= np.linalg.norm(ray_directions, axis=1, keepdims=True)
-
-    points = np.tile(camera_position, (uv.shape[0], 1)).astype(np.float32)
-
-    # Analytic entry into the bounding sphere (reference :93-98).
-    b = 2.0 * np.einsum("ij,ij->i", points, ray_directions)
-    c = float(np.dot(camera_position, camera_position)) - radius * radius
-    disc = b**2 - 4 * c
-    entered = disc >= 0
-    dist = np.where(entered, (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, 0.0)
-    points[entered] += ray_directions[entered] * dist[entered, None]
-
-    latent = np.asarray(latent_code, dtype=np.float32)
-    traced = points.copy()
-    hit = np.zeros(points.shape[0], dtype=bool)
-    if entered.any():
-        traced_sub, hit_sub = _bucketed_trace(
-            "primary", params, latent, points[entered], ray_directions[entered],
-            iterations=iterations, threshold=threshold, step_clamp=0.02,
-            sdf_offset=sdf_offset, radius=radius,
+    pixels = np.asarray(
+        _render_pixels(
+            params,
+            jnp.asarray(latent_code, dtype=jnp.float32),
+            jnp.asarray(camera_position, dtype=jnp.float32),
+            jnp.asarray(camera_right, dtype=jnp.float32),
+            jnp.asarray(camera_up, dtype=jnp.float32),
+            jnp.asarray(camera_forward, dtype=jnp.float32),
+            jnp.asarray(LIGHT_POSITION, dtype=jnp.float32),
+            size=size,
+            iterations=iterations,
+            threshold=threshold,
+            sdf_offset=sdf_offset,
+            radius=radius,
+            vertical_cutoff=vertical_cutoff,
+            color=tuple(color),
         )
-        traced[entered] = traced_sub
-        hit[entered] = hit_sub
-    points = traced
-    model_mask = hit
-
-    if vertical_cutoff is not None:
-        model_mask &= np.abs(points[:, 1]) <= vertical_cutoff
-
-    model_points = points[model_mask]
-    pixels = np.ones((points.shape[0], 3), dtype=np.float64)
-
-    if model_points.shape[0] > 0:
-        normal = get_normals(net, params, latent, model_points)
-        seen_by_light = 1.0 - get_shadows(
-            net, params, latent, model_points, LIGHT_POSITION,
-            radius=radius, sdf_offset=sdf_offset,
-        )
-
-        light_direction = LIGHT_POSITION[None, :] - model_points
-        light_direction /= np.linalg.norm(light_direction, axis=1, keepdims=True)
-
-        diffuse = np.clip(np.einsum("ij,ij->i", light_direction, normal), 0, 1) * seen_by_light
-
-        reflect = light_direction - 2.0 * np.einsum("ij,ij->i", light_direction, normal)[:, None] * normal
-        reflect /= np.linalg.norm(reflect, axis=1, keepdims=True)
-        view_dirs = ray_directions[model_mask]
-        specular = np.clip(np.einsum("ij,ij->i", reflect, view_dirs), 0, 1)
-        specular = np.power(specular, 20) * seen_by_light
-        rim = 1.0 - np.clip(-np.einsum("ij,ij->i", normal, view_dirs), 0, 1)
-        rim = np.power(rim, 4) * 0.3
-
-        shaded = np.asarray(color)[None, :] * (diffuse * 0.5 + 0.5)[:, None]
-        shaded += (specular * 0.3 + rim)[:, None]
-        pixels[model_mask] = np.clip(shaded, 0, 1)
-
-        # Ground-plane shadow pass (reference :156-167).
-        ground = (ray_directions[:, 1] < 0) & ~model_mask
-        ground_idx = np.nonzero(ground)[0]
-        if ground_idx.size > 0:
-            ground_plane = float(model_points[:, 1].min())
-            g_pts = points[ground_idx].copy()
-            g_dirs = ray_directions[ground_idx]
-            t = (g_pts[:, 1] - ground_plane) / g_dirs[:, 1]
-            g_pts -= g_dirs * t[:, None]
-            near = np.linalg.norm(g_pts[:, ::2], axis=1) < 3
-            ground_idx = ground_idx[near]
-            g_pts = g_pts[near]
-            if ground_idx.size > 0:
-                shadows = get_shadows(
-                    net, params, latent, g_pts, LIGHT_POSITION, sdf_offset=sdf_offset
-                )
-                pixels[ground_idx] -= ((1.0 - 0.65) * shadows)[:, None]
-
-    pixels = np.clip(pixels, 0, 1).reshape((size, size, 3))
+    )
 
     if crop:
         from shapegan_tpu.util import crop_image
 
-        pixels = crop_image(pixels, background=1)
+        pixels = crop_image(pixels / 255.0, background=1)
+        pixels = np.uint8(np.round(pixels * 255.0))
 
-    image = Image.fromarray(np.uint8(pixels * 255), "RGB")
+    image = Image.fromarray(pixels, "RGB")
     if ssaa != 1:
         image = image.resize((resolution, resolution), Image.LANCZOS)
     return image
