@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Bootstrap demo checkpoints from a fresh clone — no dataset required.
+
+The reference ships three pretrained voxel-GAN generators
+(/root/reference/examples/gan_generator_voxels_*.to, README.md:75-78) so
+``demo_gan.py`` works out of the box. Those artifacts are tens of MB and
+ShapeNet-derived; here the equivalent is a bootstrap script: train small
+checkpoints on synthetic analytic SDF shapes (spheres/boxes/capsules —
+data/synthetic.py) in about a minute on a TPU chip (a few minutes on CPU),
+writing the exact checkpoint layouts the demos load:
+
+  models/generator.npz + discriminator.npz     → demo_gan.py
+  models/wgan-generator.npz + wgan-critic.npz  → demo_gan.py wgan
+  models/sdf_net.npz + sdf_net_latent_codes.npz → demo_sdf_net.py,
+                                                  demo_latent_space.py, metrics.py
+  models/autoencoder-128.npz                   → demo_autoencoder.py classic
+  models/classifier.npz                        → train_classifier.py continue
+
+    python3 make_examples.py [quick]   # quick: ~4x fewer steps
+"""
+
+import sys
+import time
+
+from shapegan_tpu.core.config import TrainConfig
+
+
+def main():
+    quick = "quick" in sys.argv
+    scale = 4 if quick else 1
+    t0 = time.time()
+
+    def stage(name, fn):
+        start = time.time()
+        fn()
+        print(f"[make_examples] {name} done in {time.time() - start:.1f}s")
+
+    def gan():
+        from shapegan_tpu.train import gan
+
+        gan.train(TrainConfig(synthetic=32, epochs=max(2, 24 // scale), nogui=True))
+
+    def wgan():
+        from shapegan_tpu.train import wgan
+
+        wgan.train(TrainConfig(synthetic=32, epochs=max(2, 24 // scale), nogui=True))
+
+    def autodecoder():
+        from shapegan_tpu.train import sdf_autodecoder
+
+        sdf_autodecoder.train(
+            TrainConfig(
+                synthetic=8, epochs=max(10, 120 // scale), nogui=True,
+                extras={"pointcloud_size": 20000},
+            )
+        )
+
+    def autoencoder():
+        from shapegan_tpu.train import autoencoder
+
+        autoencoder.train(
+            TrainConfig(synthetic=32, classic=True, epochs=max(2, 16 // scale), nogui=True)
+        )
+
+    def classifier():
+        from shapegan_tpu.train import classifier
+
+        classifier.train(TrainConfig(synthetic=64, epochs=max(2, 12 // scale), nogui=True))
+
+    stage("voxel GAN", gan)
+    stage("voxel WGAN", wgan)
+    stage("SDF autodecoder", autodecoder)
+    stage("autoencoder", autoencoder)
+    stage("classifier", classifier)
+    print(f"[make_examples] all demo checkpoints ready in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -135,7 +135,17 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle deterministically from (seed, epoch) so an
+        interrupted run resumed at epoch N draws the exact batch order the
+        uninterrupted run would have — the piece of resume reproducibility
+        the reference never had (its DataLoader order is process-lifetime
+        state). No-op without a seed."""
+        if self.seed is not None:
+            self._rng = np.random.default_rng((self.seed, epoch))
 
     def __len__(self) -> int:
         n = len(self.dataset)

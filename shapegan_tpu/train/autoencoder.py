@@ -127,9 +127,13 @@ def train(config: Optional[TrainConfig] = None) -> TrainState:
     kld_history = RollingHistory(batch_size)
     profiler = StepProfiler()
 
+    base_rng = rng
     epochs = range(first_epoch, config.epochs) if config.epochs else count(first_epoch)
     try:
         for epoch in epochs:
+            # Epoch-deterministic randomness for reproducible resume.
+            rng = jax.random.fold_in(base_rng, epoch)
+            loader.set_epoch(epoch)
             with EpochTimer() as timer:
                 for batch_index, batch in enumerate(loader):
                     rng, step_rng = jax.random.split(rng)

@@ -86,6 +86,10 @@ def train(config: Optional[TrainConfig] = None):
     model, state = create_state(label_count, jax.random.PRNGKey(config.seed))
     if config.resume and checkpoints.exists(NAME, base=config.model_dir):
         state = state.replace(params=checkpoints.load(state.params, NAME, base=config.model_dir))
+    if config.resume and checkpoints.exists(NAME + "_optimizer", base=config.model_dir):
+        state = state.replace(
+            opt_state=checkpoints.load(state.opt_state, NAME + "_optimizer", base=config.model_dir)
+        )
     state = jax.device_put(state, replicated(mesh))
 
     logger = CSVLogger(f"{config.plot_dir}/classifier_training.csv", resume=config.resume)
@@ -107,6 +111,7 @@ def train(config: Optional[TrainConfig] = None):
             f"accuracy {np.mean(accs):.3f}"
         )
         checkpoints.save(state.params, NAME, base=config.model_dir)
+        checkpoints.save(state.opt_state, NAME + "_optimizer", base=config.model_dir)
         logger.write(epoch, timer.duration, float(np.mean(losses)), float(np.mean(accs)))
     return state
 

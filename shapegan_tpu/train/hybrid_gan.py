@@ -59,6 +59,7 @@ DIVERGENCE_LIMIT = 0.1
 
 G_NAME = "hybrid_gan_generator"
 D_NAME = "hybrid_gan_discriminator"
+OPT_NAME = "hybrid_gan_optimizer"
 
 
 def _shardable_mesh(grid_points, latent_codes):
@@ -194,6 +195,15 @@ def train(config: Optional[TrainConfig] = None):
             d_state = d_state.replace(
                 params=checkpoints.load(d_state.params, D_NAME, base=config.model_dir)
             )
+        # Optimizer moments live in a sidecar artifact so the param files
+        # keep the reference's bare layout (the reference silently resets
+        # Adam moments on resume — SURVEY.md §5; we restore them).
+        if checkpoints.exists(OPT_NAME, base=config.model_dir):
+            restored = checkpoints.load(
+                {"g": g_opt_state, "d": d_state.opt_state}, OPT_NAME, base=config.model_dir
+            )
+            g_opt_state = restored["g"]
+            d_state = d_state.replace(opt_state=restored["d"])
 
     # RAW SDF values: clamp but do not rescale (reference :57)
     dataset = resolve_voxel_dataset(config, resolution=VOXEL_RESOLUTION, rescale_sdf=False)
@@ -211,7 +221,7 @@ def train(config: Optional[TrainConfig] = None):
     viewer = make_viewer(config.nogui)
     history_fake, history_real = RollingHistory(), RollingHistory()
     profiler = StepProfiler()
-    rng = jax.random.PRNGKey(config.seed + 1)
+    base_rng = jax.random.PRNGKey(config.seed + 1)
 
     epochs = (
         range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
@@ -219,6 +229,10 @@ def train(config: Optional[TrainConfig] = None):
     try:
         with mesh:
             for epoch in epochs:
+                # Epoch-deterministic randomness: resume at epoch N replays
+                # the uninterrupted run's exact latent draws + batch order.
+                rng = jax.random.fold_in(base_rng, epoch)
+                loader.set_epoch(epoch)
                 with EpochTimer() as timer:
                     for batch_index, batch in enumerate(loader):
                         rng, grng, drng = jax.random.split(rng, 3)
@@ -255,6 +269,9 @@ def train(config: Optional[TrainConfig] = None):
 
                 checkpoints.save(g_params, G_NAME, base=config.model_dir)
                 checkpoints.save(d_state.params, D_NAME, base=config.model_dir)
+                checkpoints.save(
+                    {"g": g_opt_state, "d": d_state.opt_state}, OPT_NAME, base=config.model_dir
+                )
                 checkpoints.save(g_params, G_NAME, epoch=epoch, base=config.model_dir)
                 checkpoints.save(d_state.params, D_NAME, epoch=epoch, base=config.model_dir)
                 logger.write(epoch, timer.duration, history_fake.mean, history_real.mean)

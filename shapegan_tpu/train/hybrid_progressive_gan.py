@@ -64,6 +64,7 @@ SNAPSHOT_EVERY = 10
 
 G_NAME = "hybrid_progressive_gan_generator_{:d}"
 D_NAME = "hybrid_progressive_gan_discriminator_{:d}"
+OPT_NAME = "hybrid_progressive_gan_optimizer_{:d}"
 
 
 def create_models(seed: int = 0):
@@ -158,6 +159,14 @@ def train(config: Optional[TrainConfig] = None):
     d_tx = optax.rmsprop(LEARN_RATE)
     g_opt_state = g_tx.init(g_params)
     d_opt_state = d_tx.init(d_params)
+    # Same-iteration resume restores RMSprop moments from the sidecar; a new
+    # growth iteration starts with fresh moments (like the reference).
+    if config.resume and checkpoints.exists(OPT_NAME.format(iteration), base=config.model_dir):
+        restored = checkpoints.load(
+            {"g": g_opt_state, "d": d_opt_state}, OPT_NAME.format(iteration),
+            base=config.model_dir,
+        )
+        g_opt_state, d_opt_state = restored["g"], restored["d"]
 
     dataset = resolve_voxel_dataset(config, resolution=resolution, rescale_sdf=False)
     batch_size = config.batch_size or BATCH_SIZE
@@ -176,12 +185,15 @@ def train(config: Optional[TrainConfig] = None):
     viewer = make_viewer(config.nogui)
     history_fake, history_real, history_gp = RollingHistory(), RollingHistory(), RollingHistory()
     profiler = StepProfiler()
-    rng = jax.random.PRNGKey(config.seed + 1)
+    base_rng = jax.random.PRNGKey(config.seed + 1)
     fading = (not config.resume) and iteration > 0
 
     try:
         with mesh:
             for epoch in range(first_epoch, epochs_total):
+                # Epoch-deterministic randomness for reproducible resume.
+                rng = jax.random.fold_in(base_rng, epoch)
+                loader.set_epoch(epoch)
                 with EpochTimer() as timer:
                     for batch_index, batch in enumerate(loader):
                         fade = (
@@ -224,6 +236,10 @@ def train(config: Optional[TrainConfig] = None):
 
                 checkpoints.save(g_params, G_NAME.format(iteration), base=config.model_dir)
                 checkpoints.save(d_params, D_NAME.format(iteration), base=config.model_dir)
+                checkpoints.save(
+                    {"g": g_opt_state, "d": d_opt_state}, OPT_NAME.format(iteration),
+                    base=config.model_dir,
+                )
                 if epoch % SNAPSHOT_EVERY == 0:
                     checkpoints.save(
                         g_params, G_NAME.format(iteration), epoch=epoch, base=config.model_dir

@@ -45,6 +45,7 @@ CRITIC_WEIGHT_LIMIT = 0.01
 
 G_NAME = "hybrid_wgan_generator"
 D_NAME = "hybrid_wgan_critic"
+OPT_NAME = "hybrid_wgan_optimizer"
 
 
 def make_steps(net: SDFNet, critic: Discriminator, g_tx, batch_size: int,
@@ -108,6 +109,13 @@ def train(config: Optional[TrainConfig] = None):
                 params=checkpoints.load(d_state.params, D_NAME, base=config.model_dir)
             )
     g_opt_state = g_tx.init(g_params)
+    if config.resume and checkpoints.exists(OPT_NAME, base=config.model_dir):
+        # Sidecar optimizer moments (the reference resets them on resume).
+        restored = checkpoints.load(
+            {"g": g_opt_state, "d": d_state.opt_state}, OPT_NAME, base=config.model_dir
+        )
+        g_opt_state = restored["g"]
+        d_state = d_state.replace(opt_state=restored["d"])
 
     dataset = resolve_voxel_dataset(config, resolution=VOXEL_RESOLUTION, rescale_sdf=False)
     batch_size = config.batch_size or BATCH_SIZE
@@ -124,7 +132,7 @@ def train(config: Optional[TrainConfig] = None):
     viewer = make_viewer(config.nogui)
     history_fake, history_real = RollingHistory(), RollingHistory()
     profiler = StepProfiler()
-    rng = jax.random.PRNGKey(config.seed + 1)
+    base_rng = jax.random.PRNGKey(config.seed + 1)
 
     epochs = (
         range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
@@ -132,6 +140,9 @@ def train(config: Optional[TrainConfig] = None):
     try:
         with mesh:
             for epoch in epochs:
+                # Epoch-deterministic randomness for reproducible resume.
+                rng = jax.random.fold_in(base_rng, epoch)
+                loader.set_epoch(epoch)
                 with EpochTimer() as timer:
                     for batch_index, batch in enumerate(loader):
                         rng, crng, grng = jax.random.split(rng, 3)
@@ -159,6 +170,9 @@ def train(config: Optional[TrainConfig] = None):
 
                 checkpoints.save(g_params, G_NAME, base=config.model_dir)
                 checkpoints.save(d_state.params, D_NAME, base=config.model_dir)
+                checkpoints.save(
+                    {"g": g_opt_state, "d": d_state.opt_state}, OPT_NAME, base=config.model_dir
+                )
                 checkpoints.save(g_params, G_NAME, epoch=epoch, base=config.model_dir)
                 checkpoints.save(d_state.params, D_NAME, epoch=epoch, base=config.model_dir)
 

@@ -49,6 +49,7 @@ CURRICULUM = [
 
 G_NAME = "point_gan_generator"
 D_NAME = "point_gan_discriminator"
+OPT_NAME = "point_gan_optimizer"
 
 
 def create_models(seed: int = 0):
@@ -130,6 +131,12 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
             d_params = checkpoints.load(d_params, D_NAME, base=config.model_dir)
     g_opt_state = g_tx.init(g_params)
     d_opt_state = d_tx.init(d_params)
+    if config.resume and checkpoints.exists(OPT_NAME, base=config.model_dir):
+        # Sidecar RMSprop moments (the reference resets them on resume).
+        restored = checkpoints.load(
+            {"g": g_opt_state, "d": d_opt_state}, OPT_NAME, base=config.model_dir
+        )
+        g_opt_state, d_opt_state = restored["g"], restored["d"]
 
     dataset = resolve_point_dataset(config)
     mesh = get_mesh(batch_size=1)
@@ -186,6 +193,9 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
                 logger.write(num_points, epoch, timer.duration, mean_loss)
                 checkpoints.save(g_params, G_NAME, base=config.model_dir)
                 checkpoints.save(d_params, D_NAME, base=config.model_dir)
+                checkpoints.save(
+                    {"g": g_opt_state, "d": d_opt_state}, OPT_NAME, base=config.model_dir
+                )
     return g_params, d_params
 
 

@@ -44,6 +44,7 @@ LEARNING_RATE = 1e-5
 VIEWER_UPDATE_BATCHES = 400
 
 NET_NAME = "sdf_net"
+OPT_NAME = "sdf_net_optimizer"
 
 
 def load_pointcloud(config: TrainConfig):
@@ -161,19 +162,26 @@ def train(config: Optional[TrainConfig] = None):
 
     net_opt_state = net_tx.init(params)
     code_opt_state = code_tx.init(latent_codes)
+    if config.resume and checkpoints.exists(OPT_NAME, base=config.model_dir):
+        # Both Adams' moments from the sidecar (the reference resets them).
+        restored = checkpoints.load(
+            {"net": net_opt_state, "codes": code_opt_state}, OPT_NAME, base=config.model_dir
+        )
+        net_opt_state, code_opt_state = restored["net"], restored["codes"]
     step_fn, epoch_fn = make_train_step(net, net_tx, code_tx, pointcloud_size)
 
     logger = CSVLogger(f"{config.plot_dir}/sdf_net_training.csv", resume=config.resume)
     first_epoch = logger.first_epoch  # reference resume convention (:49-51)
     viewer = make_viewer(config.nogui)
     profiler = StepProfiler()
-    np_rng = np.random.default_rng(config.seed)
 
     epochs = (
         range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
     )
     try:
         for epoch in epochs:
+            # Epoch-deterministic batch sampling for reproducible resume.
+            np_rng = np.random.default_rng((config.seed, epoch))
             loss_values = []
             with EpochTimer() as timer:
                 if viewer is None:
@@ -212,6 +220,9 @@ def train(config: Optional[TrainConfig] = None):
 
             checkpoints.save(params, NET_NAME, base=config.model_dir)
             checkpoints.save_array(latent_codes, LATENT_CODES_FILENAME, base=config.model_dir)
+            checkpoints.save(
+                {"net": net_opt_state, "codes": code_opt_state}, OPT_NAME, base=config.model_dir
+            )
             checkpoints.save(params, NET_NAME, epoch=epoch, base=config.model_dir)
             checkpoints.save_array(
                 latent_codes, LATENT_CODES_FILENAME, epoch=epoch, base=config.model_dir

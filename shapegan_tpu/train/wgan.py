@@ -119,11 +119,17 @@ def train(config: Optional[TrainConfig] = None):
     viewer = make_viewer(config.nogui)
     history_fake, history_real = RollingHistory(), RollingHistory()
     profiler = StepProfiler()
-    rng = jax.random.PRNGKey(config.seed + 1)
+    base_rng = jax.random.PRNGKey(config.seed + 1)
 
-    epochs = range(config.epochs) if config.epochs else count()
+    first_epoch = logger.first_epoch
+    epochs = (
+        range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
+    )
     try:
         for epoch in epochs:
+            # Epoch-deterministic randomness for reproducible resume.
+            rng = jax.random.fold_in(base_rng, epoch)
+            loader.set_epoch(epoch)
             with EpochTimer() as timer:
                 for batch_index, batch in enumerate(loader):
                     rng, crng, grng = jax.random.split(rng, 3)
