@@ -1,4 +1,4 @@
-"""Interactive GL mesh/voxel viewer (host-side).
+"""Interactive mesh/voxel viewer with shadow mapping (host-side).
 
 Role parity with /root/reference/rendering/__init__.py (MeshRenderer): a
 background render thread showing the latest mesh or voxel reconstruction
@@ -6,9 +6,18 @@ during training, with mouse-drag rotation, R to reset, F12 screenshots, and
 offscreen ``get_image`` readback. Voxel input is meshed with the framework's
 own extractors (marching tetrahedra or binary cubes) instead of skimage.
 
-This module touches no TPU state; it degrades gracefully (raises on
-construction) when no display/GL is available — trainers catch that and run
-headless (see train/common.make_viewer).
+Render pipeline parity (reference rendering/__init__.py:174-196 +
+vertex.glsl/fragment.glsl/depth_*.glsl): a light-space depth pre-pass into a
+1024² shadow-map FBO, then a camera pass with PCF 3×3 + bilinear-lerp shadow
+lookup, rim light, and a floor plane darkened by the shadow factor.
+
+Two interchangeable backends share that pipeline:
+  * GL (pygame + PyOpenGL) for interactive windows — the reference's path;
+  * the native software rasterizer (render/software.py, C++/numpy) for
+    ``get_image`` on headless hosts — no display or GL context required.
+This module touches no TPU state; when neither a display nor GL is available
+the viewer runs headless-only (trainers catch that in train/common.make_viewer)
+but ``get_image`` still works through the software backend.
 """
 
 from __future__ import annotations
@@ -18,50 +27,135 @@ import time
 
 import numpy as np
 
+from shapegan_tpu.render.software import SHADOW_TEXTURE_SIZE
+
+DEFAULT_ROTATION = (147.0, 20.0)
+
+# GLSL port of the reference's two-shader pipeline (fragment.glsl:9-73):
+# ambient 0.5, diffuse 0.5, specular 0.3 pow20, rim light, PCF 3x3 shadow
+# lookup with bilinear shadow lerp, floor darkening mix.
 VERTEX_SHADER = """
 #version 130
-uniform mat4 view_projection;
-in vec3 position;
-in vec3 normal;
+uniform mat4 VP;
+uniform mat4 lightVP;
+uniform mat4 lightVPinverse;
+uniform float yOffset;
+in vec3 in_position;
+in vec3 in_normal;
 out vec3 v_normal;
 out vec3 v_position;
+out vec4 v_shadow_position;
+out vec3 v_light_position;
 void main() {
-    gl_Position = view_projection * vec4(position, 1.0);
-    v_normal = normal;
-    v_position = position;
+    vec3 vertexWithOffset = in_position + vec3(0.0, yOffset, 0.0);
+    gl_Position = VP * vec4(vertexWithOffset, 1.0);
+    v_position = gl_Position.xyz;
+    v_shadow_position = lightVP * vec4(vertexWithOffset, 1.0);
+    v_light_position = (VP * lightVPinverse * vec4(0.0, 0.0, -1.0, 1.0)).xyz;
+    v_normal = (VP * vec4(in_normal, 0.0)).xyz;
 }
 """
 
 FRAGMENT_SHADER = """
 #version 130
+uniform sampler2D shadow_map;
+uniform float isFloor;
 uniform vec3 albedo;
-uniform vec3 light_direction;
-uniform vec3 camera_position;
 in vec3 v_normal;
 in vec3 v_position;
+in vec4 v_shadow_position;
+in vec3 v_light_position;
 out vec4 frag_color;
+
+const float ambient = 0.5;
+const float diffuse = 0.5;
+const float specular = 0.3;
+
+float isInShadow(vec2 uv, float reference_depth) {
+    return reference_depth > texture(shadow_map, uv.xy).r ? 1.0 : 0.0;
+}
+
+float texture2DShadowLerp(vec2 uv, float reference_depth, float shadowTextureSize) {
+    vec2 texelSize = vec2(1.0) / shadowTextureSize;
+    vec2 f = fract(uv * shadowTextureSize + 0.5);
+    vec2 centroidUV = floor(uv * shadowTextureSize + 0.5) / shadowTextureSize;
+    float lb = isInShadow(centroidUV + texelSize * vec2(0.0, 0.0), reference_depth);
+    float lt = isInShadow(centroidUV + texelSize * vec2(0.0, 1.0), reference_depth);
+    float rb = isInShadow(centroidUV + texelSize * vec2(1.0, 0.0), reference_depth);
+    float rt = isInShadow(centroidUV + texelSize * vec2(1.0, 1.0), reference_depth);
+    float a = mix(lb, lt, f.y);
+    float b = mix(rb, rt, f.y);
+    return mix(a, b, f.x);
+}
+
+float getShadow(vec4 shadowPosition, float lightDotNormal) {
+    vec3 shadow_coords = shadowPosition.xyz / shadowPosition.w;
+    shadow_coords = shadow_coords * 0.5 + 0.5;
+    if (shadow_coords.z > 1.0) {
+        return 0.0;
+    }
+    float bias = max(0.002 * (1.0 - lightDotNormal), 0.001) / shadowPosition.w;
+    float reference_depth = shadow_coords.z - bias;
+    float shadowTextureSize = float(textureSize(shadow_map, 0).x);
+    float result = 0.0;
+    for (int x = -1; x <= 1; x++) {
+        for (int y = -1; y <= 1; y++) {
+            vec2 offset = vec2(x, y) / shadowTextureSize;
+            result += texture2DShadowLerp(shadow_coords.xy + offset, reference_depth,
+                                          shadowTextureSize);
+        }
+    }
+    return clamp(result / 9.0, 0.0, 1.0);
+}
+
 void main() {
-    vec3 n = normalize(v_normal);
-    float diffuse = clamp(dot(n, -light_direction), 0.0, 1.0);
-    vec3 view = normalize(camera_position - v_position);
-    vec3 h = normalize(view - light_direction);
-    float specular = pow(clamp(dot(n, h), 0.0, 1.0), 32.0) * 0.3;
-    float rim = pow(1.0 - clamp(dot(n, view), 0.0, 1.0), 4.0) * 0.2;
-    vec3 color = albedo * (0.35 + 0.65 * diffuse) + vec3(specular + rim);
+    vec3 normal = normalize(v_normal);
+    vec3 viewDirection = normalize(-v_position);
+    vec3 lightDirection = normalize(v_light_position - v_position);
+    vec3 reflectDirection = -normalize(reflect(lightDirection, normal));
+    float lightDotNormal = clamp(dot(normal, lightDirection), 0.0, 1.0);
+
+    float shadow = getShadow(v_shadow_position, lightDotNormal);
+    float rimLight = pow(1.0 - clamp(-normal.z, 0.0, 1.0), 4.0) * 0.3;
+
+    vec3 color = albedo * ambient
+        + albedo * diffuse * lightDotNormal * (1.0 - shadow)
+        + vec3(1.0) * specular * pow(max(0.0, dot(reflectDirection, viewDirection)), 20.0) * (1.0 - shadow)
+        + vec3(1.0) * rimLight;
+
+    if (isFloor == 1.0) {
+        color = mix(vec3(1.0), vec3(0.8) * ambient, shadow);
+    }
     frag_color = vec4(color, 1.0);
 }
 """
 
+DEPTH_VERTEX_SHADER = """
+#version 130
+uniform mat4 VP;
+in vec3 in_position;
+void main() { gl_Position = VP * vec4(in_position, 1.0); }
+"""
+
+DEPTH_FRAGMENT_SHADER = """
+#version 130
+out vec4 frag_color;
+void main() { frag_color = vec4(1.0); }
+"""
+
 
 class MeshRenderer:
-    def __init__(self, size: int = 800, start_thread: bool = True, background_color=(1, 1, 1, 1)):
+    def __init__(self, size: int = 800, start_thread: bool = True,
+                 background_color=(1, 1, 1, 1)):
         self.size = size
         self.background_color = background_color
-        self.rotation = [147.0, 20.0]
+        self.rotation = list(DEFAULT_ROTATION)
         self.model_size = 1.0
+        self.model_color = (0.8, 0.1, 0.1)
+        self.ground_level = -1.0
         self._lock = threading.Lock()
-        self._vertices = None  # pending upload: [N, 3] float32
-        self._normals = None
+        self._vertices = np.zeros((0, 3), np.float32)  # triangle soup
+        self._normals = np.zeros((0, 3), np.float32)
         self._dirty = False
         self._running = True
         self._vertex_count = 0
@@ -70,13 +164,14 @@ class MeshRenderer:
         if start_thread:
             self.thread = threading.Thread(target=self._run, daemon=True)
             self.thread.start()
-        else:
-            self._init_gl()
 
     # ------------------------------------------------------------- data in
 
-    def set_mesh(self, mesh) -> None:
-        """Show a TriangleMesh (or None to clear)."""
+    def set_mesh(self, mesh, center_and_scale: bool = False) -> None:
+        """Show a TriangleMesh (or None to clear).
+
+        Camera distance follows the reference's fixed model-size convention
+        (rendering/__init__.py:163 — 1.08 for meshes, 1.4 for voxel meshes)."""
         if mesh is None:
             with self._lock:
                 self._vertices = np.zeros((0, 3), np.float32)
@@ -84,11 +179,15 @@ class MeshRenderer:
                 self._dirty = True
             return
         tri = mesh.triangles.reshape(-1, 3).astype(np.float32)
+        if center_and_scale and tri.size:
+            tri = tri - (tri.min(axis=0) + tri.max(axis=0))[None, :] / 2.0
+            tri = tri / max(float(np.linalg.norm(tri, axis=1).max()), 1e-9)
         normals = np.repeat(mesh.face_normals, 3, axis=0).astype(np.float32)
         with self._lock:
             self._vertices = tri
             self._normals = normals
-            self.model_size = float(np.abs(tri).max()) if tri.size else 1.0
+            self.model_size = 1.08
+            self.ground_level = float(tri[:, 1].min()) if tri.size else -1.0
             self._dirty = True
 
     def set_voxels(self, voxels, use_marching_cubes: bool = True, level: float = 0.0) -> None:
@@ -108,6 +207,7 @@ class MeshRenderer:
             res = voxels.shape[0]
             mesh = type(mesh)(mesh.vertices * (2.0 / res) - 1.0, mesh.faces)
         self.set_mesh(mesh)
+        self.model_size = 1.4  # reference set_voxels camera framing (:132)
 
     # ------------------------------------------------------------ lifecycle
 
@@ -116,7 +216,36 @@ class MeshRenderer:
         if self.thread is not None and self.thread.is_alive():
             self.thread.join(timeout=2.0)
 
-    # --------------------------------------------------------------- render
+    # ----------------------------------------------------------- camera math
+
+    def _matrices(self):
+        """(camera VP, light VP) for the current rotation — reference
+        rendering/__init__.py:230-236: light at distance 6, pitch 50, yaw
+        follows the camera."""
+        from shapegan_tpu.render.camera import get_camera_transform
+
+        camera_vp = get_camera_transform(
+            self.model_size * 2.0, self.rotation[0], self.rotation[1], project=True
+        )
+        light_vp = get_camera_transform(6.0, self.rotation[0], 50.0, project=True)
+        return camera_vp, light_vp
+
+    # --------------------------------------------------------------- GL path
+
+    def _compile_program(self, GL, vertex_source, fragment_source):
+        program = GL.glCreateProgram()
+        for source, kind in ((vertex_source, GL.GL_VERTEX_SHADER),
+                             (fragment_source, GL.GL_FRAGMENT_SHADER)):
+            shader = GL.glCreateShader(kind)
+            GL.glShaderSource(shader, source)
+            GL.glCompileShader(shader)
+            if not GL.glGetShaderiv(shader, GL.GL_COMPILE_STATUS):
+                raise RuntimeError(GL.glGetShaderInfoLog(shader).decode())
+            GL.glAttachShader(program, shader)
+        GL.glLinkProgram(program)
+        if not GL.glGetProgramiv(program, GL.GL_LINK_STATUS):
+            raise RuntimeError(GL.glGetProgramInfoLog(program).decode())
+        return program
 
     def _init_gl(self):
         import pygame
@@ -126,21 +255,47 @@ class MeshRenderer:
         pygame.display.set_mode((self.size, self.size), pygame.OPENGL | pygame.DOUBLEBUF)
         pygame.display.set_caption("shapegan_tpu viewer")
 
-        self._program = GL.glCreateProgram()
-        for source, kind in ((VERTEX_SHADER, GL.GL_VERTEX_SHADER),
-                             (FRAGMENT_SHADER, GL.GL_FRAGMENT_SHADER)):
-            shader = GL.glCreateShader(kind)
-            GL.glShaderSource(shader, source)
-            GL.glCompileShader(shader)
-            if not GL.glGetShaderiv(shader, GL.GL_COMPILE_STATUS):
-                raise RuntimeError(GL.glGetShaderInfoLog(shader).decode())
-            GL.glAttachShader(self._program, shader)
-        GL.glLinkProgram(self._program)
-        if not GL.glGetProgramiv(self._program, GL.GL_LINK_STATUS):
-            raise RuntimeError(GL.glGetProgramInfoLog(self._program).decode())
+        self._program = self._compile_program(GL, VERTEX_SHADER, FRAGMENT_SHADER)
+        self._depth_program = self._compile_program(
+            GL, DEPTH_VERTEX_SHADER, DEPTH_FRAGMENT_SHADER
+        )
+
+        # Shadow-map FBO (reference create_shadow_texture, __init__.py:28-52).
+        self._shadow_texture = GL.glGenTextures(1)
+        GL.glBindTexture(GL.GL_TEXTURE_2D, self._shadow_texture)
+        GL.glTexImage2D(
+            GL.GL_TEXTURE_2D, 0, GL.GL_DEPTH_COMPONENT,
+            SHADOW_TEXTURE_SIZE, SHADOW_TEXTURE_SIZE, 0,
+            GL.GL_DEPTH_COMPONENT, GL.GL_FLOAT, None,
+        )
+        GL.glTexParameteri(GL.GL_TEXTURE_2D, GL.GL_TEXTURE_MAG_FILTER, GL.GL_NEAREST)
+        GL.glTexParameteri(GL.GL_TEXTURE_2D, GL.GL_TEXTURE_MIN_FILTER, GL.GL_NEAREST)
+        GL.glTexParameteri(GL.GL_TEXTURE_2D, GL.GL_TEXTURE_WRAP_S, GL.GL_CLAMP_TO_BORDER)
+        GL.glTexParameteri(GL.GL_TEXTURE_2D, GL.GL_TEXTURE_WRAP_T, GL.GL_CLAMP_TO_BORDER)
+        GL.glTexParameterfv(GL.GL_TEXTURE_2D, GL.GL_TEXTURE_BORDER_COLOR,
+                            np.ones(4, np.float32))
+        GL.glBindTexture(GL.GL_TEXTURE_2D, 0)
+        self._shadow_fbo = GL.glGenFramebuffers(1)
 
         self._vbo_positions = GL.glGenBuffers(1)
         self._vbo_normals = GL.glGenBuffers(1)
+
+        # Floor quad (reference prepare_floor, size 6).
+        s = 6.0
+        floor_vertices = np.array(
+            [[-s, 0, -s], [-s, 0, s], [s, 0, s], [-s, 0, -s], [s, 0, s], [s, 0, -s]],
+            np.float32,
+        )
+        floor_normals = np.tile(np.array([[0, 1, 0]], np.float32), (6, 1))
+        self._vbo_floor_positions = GL.glGenBuffers(1)
+        self._vbo_floor_normals = GL.glGenBuffers(1)
+        GL.glBindBuffer(GL.GL_ARRAY_BUFFER, self._vbo_floor_positions)
+        GL.glBufferData(GL.GL_ARRAY_BUFFER, floor_vertices.nbytes, floor_vertices,
+                        GL.GL_STATIC_DRAW)
+        GL.glBindBuffer(GL.GL_ARRAY_BUFFER, self._vbo_floor_normals)
+        GL.glBufferData(GL.GL_ARRAY_BUFFER, floor_normals.nbytes, floor_normals,
+                        GL.GL_STATIC_DRAW)
+
         GL.glEnable(GL.GL_DEPTH_TEST)
         self._window = True
 
@@ -158,38 +313,80 @@ class MeshRenderer:
         GL.glBufferData(GL.GL_ARRAY_BUFFER, normals.nbytes, normals, GL.GL_DYNAMIC_DRAW)
         self._vertex_count = len(vertices)
 
+    def _bind_attributes(self, program, vbo_positions, vbo_normals, use_normals=True):
+        from OpenGL import GL
+
+        loc = GL.glGetAttribLocation(program, "in_position")
+        GL.glBindBuffer(GL.GL_ARRAY_BUFFER, vbo_positions)
+        GL.glEnableVertexAttribArray(loc)
+        GL.glVertexAttribPointer(loc, 3, GL.GL_FLOAT, GL.GL_FALSE, 0, None)
+        if use_normals:
+            loc = GL.glGetAttribLocation(program, "in_normal")
+            if loc >= 0:
+                GL.glBindBuffer(GL.GL_ARRAY_BUFFER, vbo_normals)
+                GL.glEnableVertexAttribArray(loc)
+                GL.glVertexAttribPointer(loc, 3, GL.GL_FLOAT, GL.GL_FALSE, 0, None)
+
     def _draw(self):
         from OpenGL import GL
 
-        from shapegan_tpu.render.camera import get_camera_transform, PROJECTION_MATRIX
+        self._upload()
+        camera_vp, light_vp = self._matrices()
+        camera_vp = camera_vp.astype(np.float32)
+        light_vp32 = light_vp.astype(np.float32)
+        light_vp_inv = np.linalg.inv(light_vp).astype(np.float32)
 
+        # Pass 1 — light-space depth into the shadow-map FBO (mesh only,
+        # reference _render_shadow_texture).
+        GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, self._shadow_fbo)
+        GL.glFramebufferTexture2D(GL.GL_FRAMEBUFFER, GL.GL_DEPTH_ATTACHMENT,
+                                  GL.GL_TEXTURE_2D, self._shadow_texture, 0)
+        GL.glDrawBuffer(GL.GL_NONE)
+        GL.glReadBuffer(GL.GL_NONE)
+        GL.glViewport(0, 0, SHADOW_TEXTURE_SIZE, SHADOW_TEXTURE_SIZE)
+        GL.glClear(GL.GL_DEPTH_BUFFER_BIT)
+        if self._vertex_count:
+            GL.glUseProgram(self._depth_program)
+            loc = GL.glGetUniformLocation(self._depth_program, "VP")
+            GL.glUniformMatrix4fv(loc, 1, GL.GL_TRUE, light_vp32)
+            self._bind_attributes(self._depth_program, self._vbo_positions,
+                                  self._vbo_normals, use_normals=False)
+            GL.glDrawArrays(GL.GL_TRIANGLES, 0, self._vertex_count)
+        GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, 0)
+
+        # Pass 2 — camera pass with shadow lookup.
+        GL.glViewport(0, 0, self.size, self.size)
         GL.glClearColor(*self.background_color)
         GL.glClear(GL.GL_COLOR_BUFFER_BIT | GL.GL_DEPTH_BUFFER_BIT)
-        self._upload()
         if self._vertex_count == 0:
             return
         GL.glUseProgram(self._program)
-        camera_distance = 2.4 * self.model_size
-        vp = PROJECTION_MATRIX @ get_camera_transform(
-            camera_distance, self.rotation[0], self.rotation[1]
-        )
-        loc = GL.glGetUniformLocation(self._program, "view_projection")
-        GL.glUniformMatrix4fv(loc, 1, GL.GL_TRUE, vp.astype(np.float32))
-        GL.glUniform3f(GL.glGetUniformLocation(self._program, "albedo"), 0.8, 0.1, 0.1)
-        light = np.array([-0.3, -1.0, -0.4])
-        light /= np.linalg.norm(light)
-        GL.glUniform3f(GL.glGetUniformLocation(self._program, "light_direction"), *light)
-        cam = np.linalg.inv(get_camera_transform(camera_distance, *self.rotation)) @ np.array(
-            [0, 0, 0, 1.0]
-        )
-        GL.glUniform3f(GL.glGetUniformLocation(self._program, "camera_position"), *cam[:3])
 
-        for attr_name, vbo in (("position", self._vbo_positions), ("normal", self._vbo_normals)):
-            loc = GL.glGetAttribLocation(self._program, attr_name)
-            GL.glBindBuffer(GL.GL_ARRAY_BUFFER, vbo)
-            GL.glEnableVertexAttribArray(loc)
-            GL.glVertexAttribPointer(loc, 3, GL.GL_FLOAT, GL.GL_FALSE, 0, None)
+        def set_uniform_matrix(name, value):
+            GL.glUniformMatrix4fv(GL.glGetUniformLocation(self._program, name),
+                                  1, GL.GL_TRUE, value)
+
+        set_uniform_matrix("VP", camera_vp)
+        set_uniform_matrix("lightVP", light_vp32)
+        set_uniform_matrix("lightVPinverse", light_vp_inv)
+        GL.glActiveTexture(GL.GL_TEXTURE1)
+        GL.glBindTexture(GL.GL_TEXTURE_2D, self._shadow_texture)
+        GL.glUniform1i(GL.glGetUniformLocation(self._program, "shadow_map"), 1)
+
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "isFloor"), 0.0)
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "yOffset"), 0.0)
+        GL.glUniform3f(GL.glGetUniformLocation(self._program, "albedo"),
+                       *self.model_color)
+        self._bind_attributes(self._program, self._vbo_positions, self._vbo_normals)
         GL.glDrawArrays(GL.GL_TRIANGLES, 0, self._vertex_count)
+
+        # Floor with shadow darkening.
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "isFloor"), 1.0)
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "yOffset"),
+                       self.ground_level)
+        self._bind_attributes(self._program, self._vbo_floor_positions,
+                              self._vbo_floor_normals)
+        GL.glDrawArrays(GL.GL_TRIANGLES, 0, 6)
 
     def _run(self):
         import pygame
@@ -197,7 +394,7 @@ class MeshRenderer:
         try:
             self._init_gl()
         except Exception as e:
-            print(f"Viewer disabled ({type(e).__name__}: {e})")
+            print(f"GL viewer disabled ({type(e).__name__}: {e})")
             self._running = False
             return
         dragging = False
@@ -214,7 +411,7 @@ class MeshRenderer:
                     self.rotation[1] = float(np.clip(self.rotation[1] + event.rel[1] * 0.3, -90, 90))
                 elif event.type == pygame.KEYDOWN:
                     if event.key == pygame.K_r:
-                        self.rotation = [147.0, 20.0]
+                        self.rotation = list(DEFAULT_ROTATION)
                     elif event.key == pygame.K_F12:
                         self.save_screenshot()
             self._draw()
@@ -224,15 +421,41 @@ class MeshRenderer:
 
     # ---------------------------------------------------------------- image
 
-    def get_image(self, crop: bool = False, output_size: int = None, greyscale: bool = False):
-        """Offscreen readback of the current frame as a numpy array."""
+    def _get_image_gl(self):
         from OpenGL import GL
 
         if self._window is None:
             self._init_gl()
         self._draw()
         data = GL.glReadPixels(0, 0, self.size, self.size, GL.GL_RGB, GL.GL_UNSIGNED_BYTE)
-        image = np.frombuffer(data, np.uint8).reshape(self.size, self.size, 3)[::-1]
+        return np.frombuffer(data, np.uint8).reshape(self.size, self.size, 3)[::-1]
+
+    def _get_image_software(self):
+        from shapegan_tpu.render.software import render_scene
+
+        with self._lock:
+            vertices, normals = self._vertices, self._normals
+        camera_vp, light_vp = self._matrices()
+        return render_scene(
+            vertices, normals, camera_vp, light_vp,
+            size=self.size, ground_level=self.ground_level,
+            albedo=self.model_color, background=self.background_color[:3],
+        )
+
+    def get_image(self, crop: bool = False, output_size: int = None, greyscale: bool = False):
+        """Offscreen readback of the current frame as a numpy array.
+
+        Uses the GL window when one exists (interactive sessions); otherwise
+        renders through the native software rasterizer — identical pipeline,
+        no display needed."""
+        if self._window is not None:
+            image = self._get_image_gl()
+        else:
+            try:
+                image = self._get_image_gl()
+            except Exception:
+                self._window = None
+                image = self._get_image_software()
         if greyscale:
             image = image.mean(axis=2).astype(np.uint8)
         if crop:

@@ -23,7 +23,7 @@ from shapegan_tpu import checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
 from shapegan_tpu.models.classifier import Classifier
 from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
-from shapegan_tpu.train.common import CSVLogger, EpochTimer, StepProfiler
+from shapegan_tpu.train.common import CSVLogger, EpochTimer, StepProfiler, effective_batch_size
 
 BATCH_SIZE = 32
 LEARNING_RATE = 1e-4
@@ -80,7 +80,7 @@ def train(config: Optional[TrainConfig] = None):
     volumes, labels, label_count = make_synthetic_class_dataset(
         config.synthetic or 64, seed=config.seed
     )
-    batch_size = config.batch_size or BATCH_SIZE
+    batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(volumes))
     mesh = get_mesh(batch_size=batch_size)
 
     model, state = create_state(label_count, jax.random.PRNGKey(config.seed))

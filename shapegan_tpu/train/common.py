@@ -48,6 +48,27 @@ def _fmt(v) -> str:
     return str(v)
 
 
+def effective_batch_size(requested: int, dataset_len: int) -> int:
+    """Clamp the batch size to the dataset size.
+
+    The loaders drop the final partial batch to keep jitted step shapes
+    static (one compile per run); the reference's DataLoader instead yields
+    partial batches (drop_last defaults to False). Without this clamp a
+    dataset smaller than one batch would yield ZERO batches and train
+    nothing — with it, small datasets train on a single full-dataset batch,
+    which is the closest static-shape equivalent of the reference semantics.
+    """
+    if dataset_len <= 0:
+        raise ValueError("dataset is empty — nothing to train on")
+    if dataset_len < requested:
+        print(
+            f"Dataset has only {dataset_len} samples; clamping batch size "
+            f"{requested} -> {dataset_len}."
+        )
+        return dataset_len
+    return requested
+
+
 class RollingHistory:
     """Rolling mean over the last N steps (reference uses deque(maxlen=50))."""
 

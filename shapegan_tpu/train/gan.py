@@ -33,6 +33,7 @@ from shapegan_tpu.train.common import (
     EpochTimer,
     RollingHistory,
     StepProfiler,
+    effective_batch_size,
     make_viewer,
     maybe_print_slice,
     resolve_voxel_dataset,
@@ -142,7 +143,7 @@ def train(config: Optional[TrainConfig] = None):
         g_state, d_state = restore(config, g_state, d_state, g_name, d_name)
 
     dataset = resolve_voxel_dataset(config, resolution=32)
-    batch_size = config.batch_size or BATCH_SIZE
+    batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(dataset))
     mesh = get_mesh(batch_size=batch_size)
     loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
 

@@ -31,6 +31,7 @@ from shapegan_tpu.train.common import (
     EpochTimer,
     RollingHistory,
     StepProfiler,
+    effective_batch_size,
     make_viewer,
     maybe_print_slice,
     resolve_voxel_dataset,
@@ -118,7 +119,7 @@ def train(config: Optional[TrainConfig] = None):
         d_state = d_state.replace(opt_state=restored["d"])
 
     dataset = resolve_voxel_dataset(config, resolution=VOXEL_RESOLUTION, rescale_sdf=False)
-    batch_size = config.batch_size or BATCH_SIZE
+    batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(dataset))
     mesh = get_mesh(batch_size=batch_size)
     loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
 

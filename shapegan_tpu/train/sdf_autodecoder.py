@@ -34,7 +34,13 @@ from shapegan_tpu import LATENT_CODE_SIZE, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
 from shapegan_tpu.models import LATENT_CODES_FILENAME
 from shapegan_tpu.models.sdf_net import SDFNet
-from shapegan_tpu.train.common import CSVLogger, EpochTimer, StepProfiler, make_viewer
+from shapegan_tpu.train.common import (
+    CSVLogger,
+    EpochTimer,
+    StepProfiler,
+    effective_batch_size,
+    make_viewer,
+)
 
 POINTCLOUD_SIZE = 200000
 BATCH_SIZE = 20000
@@ -140,7 +146,7 @@ def train(config: Optional[TrainConfig] = None):
     sdf_np = np.clip(sdf_np, -SDF_CUTOFF, SDF_CUTOFF)
     signs = sdf_np > 0
 
-    batch_size = config.batch_size or BATCH_SIZE
+    batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, points_np.shape[0])
     points = jnp.asarray(points_np)
     sdf = jnp.asarray(sdf_np)
 

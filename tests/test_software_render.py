@@ -1,0 +1,121 @@
+"""Software rasterizer + shadow-mapped viewer pipeline.
+
+Covers VERDICT.md round-1 item 6: two-pass shadow rendering (light-space
+depth map, PCF 3x3 + bilinear shadow lerp, floor plane with shadow
+darkening) — reference pipeline /root/reference/rendering/__init__.py:174-196,
+fragment.glsl:16-73 — reimplemented GL-free so it runs headless.
+"""
+
+import numpy as np
+import pytest
+
+from shapegan_tpu.render.camera import get_camera_transform
+from shapegan_tpu.render.software import _load_native, render_scene
+
+
+def _box_scene():
+    """A unit box hovering above the floor, as a triangle soup."""
+    from shapegan_tpu.data.mesh_io import TriangleMesh
+
+    lo, hi = -0.4, 0.4
+    corners = np.array(
+        [[x, y, z] for x in (lo, hi) for y in (lo, hi) for z in (lo, hi)],
+        np.float32,
+    )
+    faces = np.array(
+        [(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),   # x- x+
+         (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),   # y- y+
+         (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3)],  # z- z+
+        np.int32,
+    )
+    mesh = TriangleMesh(corners, faces)
+    tri = mesh.triangles.reshape(-1, 3).astype(np.float32)
+    normals = np.repeat(mesh.face_normals, 3, axis=0).astype(np.float32)
+    return tri, normals
+
+
+def _render(use_native, size=160):
+    tri, normals = _box_scene()
+    camera_vp = get_camera_transform(2.4, 147, 20, project=True)
+    light_vp = get_camera_transform(6.0, 147, 50, project=True)
+    return render_scene(
+        tri, normals, camera_vp, light_vp,
+        size=size, shadow_size=256, ground_level=-0.8, draw_floor=True,
+        albedo=(0.8, 0.1, 0.1), use_native=use_native,
+    )
+
+
+def test_software_render_shows_model_floor_and_shadow():
+    img = _render(use_native=_load_native() is not None)
+    assert img.shape == (160, 160, 3) and img.dtype == np.uint8
+    # Model visible: reddish pixels (R channel dominant).
+    red = (img[:, :, 0].astype(int) - img[:, :, 2].astype(int)) > 40
+    assert red.sum() > 100, "model not visible"
+    # Floor shadow visible: grey pixels well below white but equal channels
+    # (fragment.glsl:71-73 mixes toward 0.4 grey under full shadow).
+    grey = (
+        (np.abs(img.astype(int)[:, :, 0] - img.astype(int)[:, :, 1]) < 3)
+        & (np.abs(img.astype(int)[:, :, 1] - img.astype(int)[:, :, 2]) < 3)
+        & (img[:, :, 0] < 200)
+        & (img[:, :, 0] > 60)
+    )
+    assert grey.sum() > 50, "ground shadow not visible"
+    # Shadowed floor darkens toward mix(1.0, 0.8*0.5, 1.0) = 0.4 -> 102.
+    assert img[grey][:, 0].min() <= 130
+
+
+def test_native_and_numpy_rasterizers_agree():
+    if _load_native() is None:
+        pytest.skip("native rasterizer unavailable")
+    native = _render(use_native=True, size=120).astype(int)
+    fallback = _render(use_native=False, size=120).astype(int)
+    # Identical math; differences only at edge pixels from float ordering.
+    assert np.abs(native - fallback).mean() < 1.0
+    assert (np.abs(native - fallback) > 8).mean() < 0.01
+
+
+def test_viewer_get_image_headless_ground_shadow():
+    """MeshRenderer.get_image works with no display and shows a ground shadow
+    (VERDICT.md item 6 'done' criterion, on the voxelized box)."""
+    from shapegan_tpu.render.viewer import MeshRenderer
+
+    # A table: wide thin top on a narrow pillar — the tabletop casts a ground
+    # shadow that stays visible around the base (a solid cube would occlude
+    # its own shadow from this camera).
+    res = 32
+    coords = (np.arange(res) + 0.5) / res * 2.0 - 1.0
+    x, y, z = np.meshgrid(coords, coords, coords, indexing="ij")
+    top = np.maximum.reduce([np.abs(x) - 0.7, np.abs(y - 0.4) - 0.08, np.abs(z) - 0.7])
+    pillar = np.maximum.reduce([np.abs(x) - 0.1, np.abs(y + 0.2) - 0.6, np.abs(z) - 0.1])
+    sdf = np.minimum(top, pillar)
+
+    viewer = MeshRenderer(size=160, start_thread=False)
+    viewer.set_voxels(sdf.astype(np.float32))
+    img = viewer.get_image()
+    assert img.shape == (160, 160, 3)
+    grey = (
+        (np.abs(img.astype(int)[:, :, 0] - img.astype(int)[:, :, 1]) < 3)
+        & (np.abs(img.astype(int)[:, :, 1] - img.astype(int)[:, :, 2]) < 3)
+        & (img[:, :, 0] < 200)
+        & (img[:, :, 0] > 60)
+    )
+    assert grey.sum() > 30, "viewer image shows no ground shadow"
+    viewer.stop()
+
+
+def test_crop_and_output_size_options():
+    from shapegan_tpu.render.viewer import MeshRenderer
+
+    viewer = MeshRenderer(size=120, start_thread=False)
+    tri, normals = _box_scene()
+    from shapegan_tpu.data.mesh_io import TriangleMesh
+
+    mesh = TriangleMesh(
+        tri.reshape(-1, 3), np.arange(len(tri), dtype=np.int32).reshape(-1, 3)
+    )
+    viewer.set_mesh(mesh)
+    img = viewer.get_image(crop=True, output_size=64)
+    assert img.shape == (64, 64, 3)
+    grey_img = viewer.get_image(greyscale=True)
+    assert grey_img.ndim == 2
+    viewer.stop()
