@@ -111,12 +111,35 @@ class ArrayDataset:
         return self.array[index]
 
 
-class BatchLoader:
-    """Shuffled, threaded, prefetching batch iterator over a map-style dataset.
+def _process_worker_init(dataset):
+    """Runs in each loader worker process: pin the dataset as a global so
+    tasks only ship index arrays, not the dataset."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
 
-    The TPU-side replacement for DataLoader(num_workers=4..8): worker threads
-    load+collate batches ahead of the training loop so the host→device copy
-    never waits on disk.
+
+def _process_worker_collate(indices):
+    items = [_WORKER_DATASET[int(i)] for i in indices]
+    if isinstance(items[0], tuple):
+        return tuple(np.stack(parts) for parts in zip(*items))
+    return np.stack(items)
+
+
+class BatchLoader:
+    """Shuffled, parallel, prefetching batch iterator over a map-style dataset.
+
+    The TPU-side replacement for DataLoader(num_workers=4..8)
+    (/root/reference/train_autoencoder.py:25): workers load+collate batches
+    ahead of the training loop so the host→device copy never waits on disk.
+
+    Backends:
+      * ``thread`` — a ThreadPoolExecutor; zero setup cost, scales while
+        item decode releases the GIL (np.load IO does).
+      * ``process`` — a persistent spawn-based process pool (the reference's
+        DataLoader worker model); scales CPU-bound decode past the GIL.
+      * ``auto`` (default) — processes for file-backed datasets on multicore
+        hosts with several workers, threads otherwise (in-memory datasets
+        gain nothing from shipping themselves to subprocesses).
     """
 
     def __init__(
@@ -128,6 +151,7 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: Optional[int] = None,
+        backend: str = "auto",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -137,6 +161,40 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self._rng = np.random.default_rng(seed)
+        if backend == "auto":
+            in_memory = isinstance(dataset, ArrayDataset)
+            multicore = (os.cpu_count() or 1) >= 4
+            backend = "process" if (self.num_workers > 1 and multicore and not in_memory) else "thread"
+        if backend not in ("thread", "process"):
+            raise ValueError(f"unknown loader backend {backend!r}")
+        self.backend = backend
+        self._pool = None
+
+    def _process_pool(self):
+        """Lazy persistent worker pool. ``spawn`` (not fork): the training
+        process has live XLA runtime threads by the time iteration starts,
+        and forking those is undefined behavior — spawn re-imports cleanly
+        and receives the (picklable) dataset once via the initializer."""
+        if self._pool is None:
+            import multiprocessing
+
+            context = multiprocessing.get_context("spawn")
+            self._pool = context.Pool(
+                self.num_workers, initializer=_process_worker_init, initargs=(self.dataset,)
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed the shuffle deterministically from (seed, epoch) so an
@@ -170,6 +228,9 @@ class BatchLoader:
         return np.stack(items)
 
     def __iter__(self):
+        if self.backend == "process":
+            yield from self._iter_process()
+            return
         q: queuelib.Queue = queuelib.Queue(maxsize=self.prefetch)
         sentinel = object()
 
@@ -188,3 +249,37 @@ class BatchLoader:
                 break
             yield item
         thread.join()
+
+    def _iter_process(self):
+        pool = self._process_pool()
+        batches = list(self._batch_indices())
+        # imap keeps epoch order (shuffle already randomized it) and streams
+        # results as workers finish — bounded look-ahead via chunksize 1.
+        yield from pool.imap(_process_worker_collate, batches, chunksize=1)
+
+
+def prefetch_to_device(iterator, put, buffer_size: int = 2):
+    """Double-buffered host→device pipeline: keep ``buffer_size`` batches
+    already dispatched to the accelerator while the current step runs
+    (the host→device half of the reference's DataLoader+pin_memory overlap;
+    jax.device_put is async, so this overlaps the copy with compute).
+
+    ``put`` maps a host batch to its device form (e.g.
+    ``lambda b: shard_batch(mesh, b)``).
+    """
+    import collections
+
+    buffer = collections.deque()
+    it = iter(iterator)
+    for _ in range(buffer_size):
+        try:
+            buffer.append(put(next(it)))
+        except StopIteration:
+            break
+    while buffer:
+        batch = buffer.popleft()
+        try:
+            buffer.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield batch

@@ -23,7 +23,7 @@ from flax.training import train_state
 
 from shapegan_tpu import checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader
+from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.autoencoder import Autoencoder
 from shapegan_tpu.ops.losses import kld_loss, sdf_reconstruction_loss, voxel_sign_difference
 from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
@@ -136,11 +136,13 @@ def train(config: Optional[TrainConfig] = None) -> TrainState:
             rng = jax.random.fold_in(base_rng, epoch)
             loader.set_epoch(epoch)
             with EpochTimer() as timer:
-                for batch_index, batch in enumerate(loader):
+                for batch_index, batch in enumerate(
+                    prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
+                ):
                     rng, step_rng = jax.random.split(rng)
                     with profiler:
                         state, metrics, output = train_step(
-                            model, state, shard_batch(mesh, batch), step_rng
+                            model, state, batch, step_rng
                         )
                     recon_history.append(metrics["reconstruction_loss"])
                     kld_history.append(metrics["kld_loss"])

@@ -24,7 +24,7 @@ from flax.training import train_state
 
 from shapegan_tpu import LATENT_CODE_SIZE, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader
+from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.gan import Discriminator, Generator
 from shapegan_tpu.ops.losses import bce_loss
 from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
@@ -166,12 +166,14 @@ def train(config: Optional[TrainConfig] = None):
             rng = jax.random.fold_in(base_rng, epoch)
             loader.set_epoch(epoch)
             with EpochTimer() as timer:
-                for batch_index, batch in enumerate(loader):
+                for batch_index, batch in enumerate(
+                    prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
+                ):
                     rng, step_rng = jax.random.split(rng)
                     with profiler:
                         g_state, d_state, metrics, sample = train_step(
                             generator, discriminator, g_state, d_state,
-                            shard_batch(mesh, batch), step_rng,
+                            batch, step_rng,
                         )
                     history_fake.append(metrics["pred_fake"])
                     history_real.append(metrics["pred_real"])

@@ -28,7 +28,7 @@ from flax.training import train_state
 
 from shapegan_tpu import LATENT_CODE_SIZE, SDF_CLIPPING, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader
+from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.gan import Discriminator
 from shapegan_tpu.models.sdf_net import SDFNet
 from shapegan_tpu.ops.coords import voxel_coordinates
@@ -235,14 +235,16 @@ def train(config: Optional[TrainConfig] = None):
                 rng = jax.random.fold_in(base_rng, epoch)
                 loader.set_epoch(epoch)
                 with EpochTimer() as timer:
-                    for batch_index, batch in enumerate(loader):
+                    for batch_index, batch in enumerate(
+                        prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
+                    ):
                         rng, grng, drng = jax.random.split(rng, 3)
                         with profiler:
                             g_params, g_opt_state, fake = g_step(
                                 g_params, g_opt_state, d_state.params, grng
                             )
                             d_state, metrics = d_step(
-                                g_params, d_state, shard_batch(mesh, batch), drng
+                                g_params, d_state, batch, drng
                             )
                         history_fake.append(metrics["pred_fake"])
                         history_real.append(metrics["pred_real"])

@@ -37,7 +37,7 @@ import optax
 
 from shapegan_tpu import LATENT_CODE_SIZE, SDF_CLIPPING, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader
+from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.progressive_gan import RESOLUTIONS, ProgressiveDiscriminator
 from shapegan_tpu.models.sdf_net import SDFNet
 from shapegan_tpu.ops.coords import voxel_coordinates
@@ -196,7 +196,9 @@ def train(config: Optional[TrainConfig] = None):
                 rng = jax.random.fold_in(base_rng, epoch)
                 loader.set_epoch(epoch)
                 with EpochTimer() as timer:
-                    for batch_index, batch in enumerate(loader):
+                    for batch_index, batch in enumerate(
+                        prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
+                    ):
                         fade = (
                             (epoch + batch_index / batches_per_epoch) / FADE_IN_EPOCHS
                             if fading else 1.0
@@ -214,7 +216,7 @@ def train(config: Optional[TrainConfig] = None):
                                         maybe_print_slice(fake[0], True, scale=SDF_CLIPPING)
                             d_params, d_opt_state, metrics = d_step(
                                 g_params, d_params, d_opt_state,
-                                shard_batch(mesh, batch), drng, fade,
+                                batch, drng, fade,
                             )
                         history_fake.append(metrics["pred_fake"])
                         history_real.append(metrics["pred_real"])

@@ -21,7 +21,7 @@ from flax.training import train_state
 
 from shapegan_tpu import LATENT_CODE_SIZE, SDF_CLIPPING, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader
+from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.gan import Discriminator, clip_parameters
 from shapegan_tpu.models.sdf_net import SDFNet
 from shapegan_tpu.ops.coords import voxel_coordinates
@@ -145,11 +145,13 @@ def train(config: Optional[TrainConfig] = None):
                 rng = jax.random.fold_in(base_rng, epoch)
                 loader.set_epoch(epoch)
                 with EpochTimer() as timer:
-                    for batch_index, batch in enumerate(loader):
+                    for batch_index, batch in enumerate(
+                        prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
+                    ):
                         rng, crng, grng = jax.random.split(rng, 3)
                         with profiler:
                             d_state, metrics = critic_step(
-                                g_params, d_state, shard_batch(mesh, batch), crng
+                                g_params, d_state, batch, crng
                             )
                             if batch_index % CRITIC_UPDATES_PER_GENERATOR_UPDATE == 0:
                                 g_params, g_opt_state, pred_fake, fake = generator_step(
