@@ -40,43 +40,50 @@ from shapegan_tpu.ops import sdf_mlp
 DEFAULT_TILE = 512
 
 
-def _kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8_ref, out_ref):
-    """One point-tile program of the fused trunk; loops over the (small)
-    shape batch in-kernel, so the output block is a full [B, tile] stripe.
+def _kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8row_ref, out_ref):
+    """One point-tile program of the fused trunk, batch-STACKED: the whole
+    shape batch is folded into the row axis ([B·T, 256]) so each trunk layer
+    is ONE large MXU matmul instead of B small ones (measured 24→19 ms at the
+    16×64³ flagship — small per-shape matmuls leave MXU pipeline bubbles).
+    The head is a VPU row-dot with w8 (a [256→1] matmul padded to 128 lanes
+    wastes 8% of the MXU work).
 
     w_ref: [6, 256, 256] stacked (w2, w3, w4, w5h, w6, w7)
     b_ref: [8, 256] rows (b2, b3, b4, unused, b6, b7, b8 broadcast, unused)
-    w8_ref: [256, 128] (column 0 = the real head, rest zero-padding)
+    w8row_ref: [1, 256] (the head weight as a row)
     """
     f32 = jnp.float32
     batch = zz1_ref.shape[0]
+    tile = pp1_ref.shape[0]
+    breadth = pp1_ref.shape[1]
 
-    def one_shape(b):
-        x = jax.nn.relu(pp1_ref[:, :] + zz1_ref[b, :][None, :])
-        for layer in range(3):  # w2, w3, w4
-            x = jax.nn.relu(
-                jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
-                + b_ref[layer][None, :]
-            )
+    pp1 = pp1_ref[:, :]
+    pp5 = pp5_ref[:, :]
+    zz1 = zz1_ref[:, :]
+    zz5 = zz5_ref[:, :]
+    x = jax.nn.relu(pp1[None, :, :] + zz1[:, None, :]).reshape(batch * tile, breadth)
+    for layer in range(3):  # w2, w3, w4
         x = jax.nn.relu(
-            jnp.dot(x, w_ref[3], preferred_element_type=f32).astype(x.dtype)
-            + pp5_ref[:, :]
-            + zz5_ref[b, :][None, :]
+            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
+            + b_ref[layer][None, :]
         )
-        for layer in (4, 5):  # w6, w7
-            x = jax.nn.relu(
-                jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
-                + b_ref[layer][None, :]
-            )
-        head = jnp.dot(x, w8_ref[:, :], preferred_element_type=f32)  # [T, 128]
-        b8 = b_ref[6, :].astype(f32)[0]  # 32-bit scalar extract (Mosaic rule)
-        out = jnp.tanh(head[:, 0] + b8)
-        out_ref[b, :] = out.astype(out_ref.dtype)
-
-    # Static unroll over the shape batch: dynamic sublane indices into the
-    # packed bf16 latent rows are not provably aligned for Mosaic.
-    for b in range(batch):
-        one_shape(b)
+    x = jax.nn.relu(
+        jnp.dot(x, w_ref[3], preferred_element_type=f32)
+        .astype(x.dtype)
+        .reshape(batch, tile, breadth)
+        + pp5[None, :, :]
+        + zz5[:, None, :]
+    ).reshape(batch * tile, breadth)
+    for layer in (4, 5):  # w6, w7
+        x = jax.nn.relu(
+            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
+            + b_ref[layer][None, :]
+        )
+    w8row = w8row_ref[0, :].astype(f32)
+    head = jnp.sum(x.astype(f32) * w8row[None, :], axis=1)  # [B*T]
+    b8 = b_ref[6, :].astype(f32)[0]  # 32-bit scalar extract (Mosaic rule)
+    out = jnp.tanh(head + b8).reshape(batch, tile)
+    out_ref[:, :] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
@@ -116,7 +123,7 @@ def apply_grid_fused(params, grid_points, latents, tile: int = DEFAULT_TILE,
     # Reorder so kernel indices line up: rows 0-2 = b2..b4, 3 unused slot for
     # symmetry, 4-5 = b6, b7, 6 = b8 broadcast.
     b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
-    w8 = jnp.pad(params["w8"].astype(cd), ((0, 0), (0, 127)))
+    w8row = params["w8"].astype(cd).T  # [1, 256]
 
     grid = (p_padded // tile,)
     out = pl.pallas_call(
@@ -130,15 +137,21 @@ def apply_grid_fused(params, grid_points, latents, tile: int = DEFAULT_TILE,
             pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((breadth, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            # The stacked [B·T, 256] activations exceed Mosaic's default
+            # 16 MB scoped-VMEM cap at the flagship batch (v5e: 128 MB).
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * p_padded * 6 * breadth * breadth,
             bytes_accessed=2 * p_padded * breadth * 2 + b * p_padded * 4,
             transcendentals=b * p_padded,
         ),
-    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8)
+    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8row)
     return out[:, :p]
 
 
@@ -164,7 +177,7 @@ def apply_grid_best(params, grid_points, latents, dtype=jnp.float32):
 # The chain through w1p/w1z/w5p/w5z (and to grid/latents) is closed in XLA.
 
 
-def _bwd_kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8_ref, g_ref,
+def _bwd_kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8row_ref, g_ref,
                 dpp1_ref, dpp5_ref, dzz1_ref, dzz5_ref, dw_ref, db_ref, dw8_ref,
                 db8_ref):
     """Backward program for one point tile, looping over shapes in-kernel.
@@ -201,16 +214,16 @@ def _bwd_kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8_ref, g_ref,
     dpp5_acc = jnp.zeros((tile, breadth), f32)
     dw_acc = [jnp.zeros((breadth, breadth), f32) for _ in range(6)]
     db_acc = [jnp.zeros((breadth,), f32) for _ in range(8)]
-    db8_acc = jnp.zeros((128,), f32)
-    dw8_acc = jnp.zeros((breadth, 128), f32)
+    db8_acc = jnp.float32(0.0)
+    dw8_acc = jnp.zeros((breadth,), f32)
     dzz1_rows = []
     dzz5_rows = []
-    # b8 broadcast row, hoisted: per-shape scalar extracts cross the
-    # vector/scalar boundary and serialize the pipeline.
-    b8_row = b_ref[6:7, 0:128].astype(f32)  # [1, 128], every lane = b8
+    # Head weight as a plain row: the head is a VPU row-dot / outer product
+    # (a [256->1] matmul padded to 128 lanes wastes MXU work; measured ~5%
+    # of the whole backward).
+    w8row = w8row_ref[0, :].astype(f32)  # [256]
+    b8 = b_ref[6, :].astype(f32)[0]  # 32-bit scalar extract (Mosaic rule)
 
-    # one-hot column selector for the padded head weight
-    col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0).astype(f32)
     contract_t = (((0,), (0,)), ((), ()))      # [T, a] x [T, b] -> [a, b]
     contract_last = (((1,), (1,)), ((), ()))   # [T, a] x [b, a] -> [T, b]
 
@@ -227,17 +240,14 @@ def _bwd_kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8_ref, g_ref,
         for layer in (4, 5):  # w6, w7 -> h6, h7
             acc = jnp.dot(h[-1], w_ref[layer], preferred_element_type=f32) + b_ref[layer][None, :].astype(f32)
             h.append(jax.nn.relu(acc).astype(cd))
-        z8 = jnp.dot(h[-1], w8_ref[:, :], preferred_element_type=f32)  # [T, 128]
-        out2 = jnp.tanh(z8 + b8_row)  # [T, 128]; column 0 is the real head
+        head = jnp.sum(h[-1].astype(f32) * w8row[None, :], axis=1)  # [T]
+        out_col = jnp.tanh(head + b8)[:, None]  # [T, 1]
 
-        # ---- backward (kept 2D end-to-end: no [T]-vector relayouts)
-        gz2 = g_ref[b, :].astype(f32)[:, None] * (1.0 - out2 * out2) * col0
-        gz_mat = gz2.astype(cd)  # [T, 128], col 0 = dz8, rest 0
-        dw8_acc = dw8_acc + jax.lax.dot_general(h[6], gz_mat, contract_t,
-                                                preferred_element_type=f32)
-        db8_acc = db8_acc + jnp.sum(gz2, axis=0)  # [128]; lane 0 real
-        dh = jax.lax.dot_general(gz_mat, w8_ref[:, :], contract_last,
-                                 preferred_element_type=f32)  # [T, 256] = dh7
+        # ---- backward
+        gz_col = g_ref[b, :].astype(f32)[:, None] * (1.0 - out_col * out_col)
+        dw8_acc = dw8_acc + jnp.sum(h[6].astype(f32) * gz_col, axis=0)
+        db8_acc = db8_acc + jnp.sum(gz_col)
+        dh = gz_col * w8row[None, :]  # [T, 256] = dh7
 
         # layers w7 (idx 5), w6 (idx 4): h_prev = h[5], h[4]
         for layer, h_prev, h_cur, db_row in ((5, h[5], h[6], 5), (4, h[4], h[5], 4)):
@@ -279,8 +289,8 @@ def _bwd_kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8_ref, g_ref,
     dzz5_ref[:, :] += jnp.stack(dzz5_rows)
     dw_ref[:, :, :] += jnp.stack(dw_acc)
     db_ref[:, :] += jnp.stack(db_acc)
-    dw8_ref[:, :] += dw8_acc
-    db8_ref[:, :] += jnp.broadcast_to(db8_acc[None, :], db8_ref.shape)
+    dw8_ref[:, :] += jnp.broadcast_to(dw8_acc[:, None], dw8_ref.shape)
+    db8_ref[:, :] += jnp.full(db8_ref.shape, db8_acc, f32)
 
 
 def _projections(params, pts, latents, cd):
@@ -328,7 +338,7 @@ def _trainable_bwd(tile, residuals, g):
          jnp.zeros_like(params["b2"])]
     ).astype(cd)
     b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
-    w8 = jnp.pad(params["w8"].astype(cd), ((0, 0), (0, 127)))
+    w8row = params["w8"].astype(cd).T  # [1, 256]
     g_padded = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad)))
 
     grid = (p_padded // tile,)
@@ -352,7 +362,7 @@ def _trainable_bwd(tile, residuals, g):
             pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((breadth, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -376,7 +386,7 @@ def _trainable_bwd(tile, residuals, g):
             bytes_accessed=4 * p_padded * breadth * 4 + b * p_padded * 4,
             transcendentals=b * p_padded,
         ),
-    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8, g_padded)
+    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8row, g_padded)
 
     d_pp1, d_pp5, d_zz1, d_zz5, d_w, d_b, d_w8, d_b8 = outs
     d_pp1 = d_pp1[:p]

@@ -21,19 +21,36 @@ def test_fused_forward_matches_xla_interpreted():
     np.testing.assert_allclose(out, expected, atol=2e-2)
 
 
-def test_fused_vjp_matches_xla_interpreted():
+def test_fused_forward_multitile_interpreted():
+    # 16^3 = 4096 points = 8 tiles of 512: covers the cross-grid-step
+    # paths (per-tile output stripes, padded tail) the 1-tile test misses.
     params = sdf_mlp.init(jax.random.PRNGKey(0))
-    grid = jnp.asarray(voxel_coordinates(8))
-    lats = jax.random.normal(jax.random.PRNGKey(1), (2, 128))
-    cot = jax.random.normal(jax.random.PRNGKey(2), (2, grid.shape[0]))
+    grid = jnp.asarray(voxel_coordinates(16))
+    lats = jax.random.normal(jax.random.PRNGKey(1), (3, 128))
+    expected = np.asarray(sdf_mlp.apply_grid(params, grid, lats, dtype=jnp.bfloat16))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(apply_grid_fused(params, grid, lats))
+    np.testing.assert_allclose(out, expected, atol=2e-2)
+
+
+def _vjp_check(res, batch):
+    """Compare fused-kernel grads against XLA under the right metric.
+
+    Round-2 postmortem: comparing the fused bf16 grads directly against the
+    bf16 XLA grads measures the *sum* of two independent bf16 rounding
+    errors, which on small cancellation-dominated gradient leaves reads as
+    ~100% relative error even when both paths are correct.  The invariant
+    that actually holds is: each path's error vs fp32 ground truth is the
+    same size (here: fused < 2x XLA-bf16 + 0.02).
+    """
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    grid = jnp.asarray(voxel_coordinates(res))
+    lats = jax.random.normal(jax.random.PRNGKey(1), (batch, 128))
+    cot = jax.random.normal(jax.random.PRNGKey(2), (batch, grid.shape[0]))
 
     def loss(f):
         return lambda p, g, l: jnp.sum(f(p, g, l) * cot)
 
-    # The invariant: the fused bf16 kernel's gradient error vs fp32 ground
-    # truth must be comparable to the bf16 XLA path's own error vs fp32
-    # (both carry independent bf16 rounding; comparing bf16 to bf16 directly
-    # just measures 2x that noise).
     truth = jax.grad(
         loss(lambda p, g, l: sdf_mlp.apply_grid(p, g, l, dtype=jnp.float32)),
         argnums=(0, 1, 2),
@@ -51,3 +68,13 @@ def test_fused_vjp_matches_xla_interpreted():
         err_bf16 = np.abs(b - t).max() / scale
         err_fused = np.abs(f - t).max() / scale
         assert err_fused < 2.0 * err_bf16 + 0.02, (err_fused, err_bf16)
+
+
+def test_fused_vjp_matches_xla_interpreted():
+    _vjp_check(8, 2)
+
+
+def test_fused_vjp_multitile_interpreted():
+    # Multi-tile + odd batch: exercises cross-grid-step accumulator flushes
+    # (dw/db/dzz blocks with constant index maps + pl.when init).
+    _vjp_check(16, 3)
