@@ -93,6 +93,115 @@ def create_batches(signs: np.ndarray, batch_size: int, rng: np.random.Generator)
         yield chunk
 
 
+def create_sharded_batches(
+    signs: np.ndarray, batch_size: int, shards: int, rng: np.random.Generator
+):
+    """Per-shard sign-balanced local index batches for the sharded epoch.
+
+    ``signs`` is the global sign array laid out shard-major (shard s owns the
+    contiguous slice ``[s*L, (s+1)*L)``); each shard draws balanced batches of
+    ``batch_size // shards`` LOCAL indices from its own slice. Returns
+    [num_batches, shards, batch_size // shards] (num_batches = the smallest
+    shard's epoch, so every scan step has all shards participating)."""
+    local_n = signs.shape[0] // shards
+    local_batch = batch_size // shards
+    per_shard = [
+        list(create_batches(signs[s * local_n : (s + 1) * local_n], local_batch, rng))
+        for s in range(shards)
+    ]
+    num_batches = min(len(b) for b in per_shard)
+    if num_batches == 0:
+        return np.zeros((0, shards, local_batch), np.int64)
+    return np.stack(
+        [np.stack([per_shard[s][i] for s in range(shards)]) for i in range(num_batches)]
+    )
+
+
+def make_sharded_epoch(net: SDFNet, net_tx, code_tx, pointcloud_size: int, mesh,
+                       code_opt_example):
+    """Multi-chip epoch: the resident point dataset, SDF values, latent table,
+    and latent-optimizer moments are sharded BY SHAPE over the mesh's 'data'
+    axis — the TPU answer to the reference's whole-dataset-on-one-GPU
+    residency (/root/reference/train_sdf_autodecoder.py:22-23), which cannot
+    hold the 71 GB full dataset in one chip's HBM.
+
+    Each device draws sign-balanced batches from its OWN shard (indices are
+    shard-local), so a global step sees the same total point count as the
+    single-device path, stratified by shard. Network gradients are the only
+    collective (pmean over 'data'); latent-code gradients touch only local
+    rows and need no communication at all.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from shapegan_tpu.parallel.mesh import DATA_AXIS
+
+    def local_epoch(params, latent_codes, net_opt_state, code_opt_state, points, sdf,
+                    all_indices):
+        def step(carry, indices):
+            params, latent_codes, net_opt_state, code_opt_state = carry
+            indices = indices[0]  # strip the size-1 shard block dim
+            shape_indices = indices // pointcloud_size
+            batch_points = points[indices]
+            batch_sdf = sdf[indices]
+
+            def loss_fn(p, codes):
+                output = net.apply_indexed(p, batch_points, codes, shape_indices)
+                batch_codes = codes[shape_indices]
+                return jnp.mean(jnp.abs(output - batch_sdf)) + SIGMA * jnp.mean(
+                    batch_codes**2
+                )
+
+            loss, (net_grads, code_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                params, latent_codes
+            )
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            # The global objective is the mean over the GLOBAL batch = the
+            # average of the shard-local means. Differentiating wrt the
+            # REPLICATED params inside shard_map already psums the
+            # cotangents over 'data' (shard_map's transpose rule), so the
+            # net grads arrive as the SUM of shard means — rescale to the
+            # mean. Code rows are shard-local (varying), so their local
+            # gradient just needs the same 1/D weight; no collective.
+            shard_count = jax.lax.psum(1, DATA_AXIS)
+            net_grads = jax.tree.map(lambda g: g / shard_count, net_grads)
+            code_grads = jax.tree.map(lambda g: g / shard_count, code_grads)
+            net_updates, net_opt_state = net_tx.update(net_grads, net_opt_state, params)
+            params = optax.apply_updates(params, net_updates)
+            code_updates, code_opt_state = code_tx.update(
+                code_grads, code_opt_state, latent_codes
+            )
+            latent_codes = optax.apply_updates(latent_codes, code_updates)
+            return (params, latent_codes, net_opt_state, code_opt_state), loss
+
+        (params, latent_codes, net_opt_state, code_opt_state), losses = jax.lax.scan(
+            step, (params, latent_codes, net_opt_state, code_opt_state), all_indices
+        )
+        return params, latent_codes, net_opt_state, code_opt_state, losses
+
+    def code_spec(leaf):
+        # Adam moments for the latent table shard with it; step counters stay
+        # replicated scalars.
+        return P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P()
+
+    code_opt_specs = jax.tree.map(code_spec, code_opt_example)
+
+    sharded = jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(
+            P(),                      # params (replicated)
+            P(DATA_AXIS),             # latent table rows
+            P(),                      # net optimizer state
+            code_opt_specs,           # code optimizer moments
+            P(DATA_AXIS),             # points
+            P(DATA_AXIS),             # sdf values
+            P(None, DATA_AXIS, None), # [num_batches, shards, local_batch]
+        ),
+        out_specs=(P(), P(DATA_AXIS), P(), code_opt_specs, P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 2, 3))
+
+
 def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
     def step_body(params, latent_codes, net_opt_state, code_opt_state, points, sdf, indices):
         shape_indices = indices // pointcloud_size
@@ -176,6 +285,36 @@ def train(config: Optional[TrainConfig] = None):
         net_opt_state, code_opt_state = restored["net"], restored["codes"]
     step_fn, epoch_fn = make_train_step(net, net_tx, code_tx, pointcloud_size)
 
+    # Multi-chip headless path: shard the resident dataset + latent table by
+    # shape over the 'data' axis (see make_sharded_epoch). The shard count is
+    # the largest device count that divides both the model count and the
+    # batch (sharding never changes the user's semantics knobs).
+    import math
+
+    from shapegan_tpu.parallel.mesh import DATA_AXIS, data_sharding, get_mesh, replicated
+
+    shards = math.gcd(math.gcd(len(jax.devices()), model_count), batch_size)
+    sharded_epoch = None
+    mesh = None
+    if shards > 1 and config.nogui:
+        mesh = get_mesh(data=shards, points=1)
+        sharded_epoch = make_sharded_epoch(
+            net, net_tx, code_tx, pointcloud_size, mesh, code_opt_state
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        code_sh = lambda leaf: NamedSharding(
+            mesh, P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P()
+        )
+        params = jax.device_put(params, replicated(mesh))
+        net_opt_state = jax.device_put(net_opt_state, replicated(mesh))
+        latent_codes = jax.device_put(latent_codes, data_sharding(mesh, 2))
+        code_opt_state = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, code_sh(leaf)), code_opt_state
+        )
+        points = jax.device_put(points, data_sharding(mesh, 2))
+        sdf = jax.device_put(sdf, data_sharding(mesh, 1))
+
     logger = CSVLogger(f"{config.plot_dir}/sdf_net_training.csv", resume=config.resume)
     first_epoch = logger.first_epoch  # reference resume convention (:49-51)
     viewer = make_viewer(config.nogui)
@@ -190,7 +329,19 @@ def train(config: Optional[TrainConfig] = None):
             np_rng = np.random.default_rng((config.seed, epoch))
             loss_values = []
             with EpochTimer() as timer:
-                if viewer is None:
+                if viewer is None and sharded_epoch is not None:
+                    # Multi-chip fast path: shard-local sign-balanced batches,
+                    # whole epoch as one sharded dispatch.
+                    batches = create_sharded_batches(signs, batch_size, shards, np_rng)
+                    with profiler:
+                        params, latent_codes, net_opt_state, code_opt_state, losses = (
+                            sharded_epoch(
+                                params, latent_codes, net_opt_state, code_opt_state,
+                                points, sdf, jnp.asarray(batches, dtype=jnp.int32),
+                            )
+                        )
+                    loss_values = list(np.asarray(losses))
+                elif viewer is None:
                     # Headless fast path: the whole epoch is ONE device
                     # dispatch (scan over the epoch's index batches).
                     batches = np.stack(list(create_batches(signs, batch_size, np_rng)))

@@ -188,3 +188,89 @@ def test_graft_entry_and_dryrun():
 
     module.dryrun_multichip(8)
     module.dryrun_multichip(4)
+
+
+def test_autodecoder_sharded_epoch_matches_single_device():
+    """The shape-sharded autodecoder epoch (resident dataset + latent table +
+    code-optimizer moments sharded by shape over 'data'; net grads pmean'd)
+    must reproduce the single-device epoch when fed the same global batches:
+    per-shard mean + pmean over equal shard batches == one global mean."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.train import sdf_autodecoder as ad
+
+    model_count, pc_size, shards = 8, 256, 8
+    local_n = model_count * pc_size // shards
+    # ONE step: the L1 objective's sign kink makes multi-step runs
+    # chaotically amplify reduction-order fp noise into real drift.
+    local_batch, num_batches = 64, 1
+    batch_size = local_batch * shards
+
+    rng = np.random.default_rng(0)
+    points = rng.uniform(-1, 1, (model_count * pc_size, 3)).astype(np.float32)
+    sdf = np.clip(rng.normal(0, 0.05, model_count * pc_size), -0.1, 0.1).astype(np.float32)
+
+    net = SDFNet()
+    params = net.init(jax.random.PRNGKey(0))
+    codes = jax.random.normal(jax.random.PRNGKey(1), (model_count, 128)) * 1e-4
+    # SGD, not Adam: the check is per-leaf numerical equivalence, and Adam's
+    # g/sqrt(v) normalization amplifies reduction-order noise (mean-of-means
+    # + pmean vs one global mean) far beyond float tolerance.
+    net_tx, code_tx = optax.sgd(1e-2), optax.sgd(1e-2)
+    net_opt, code_opt = net_tx.init(params), code_tx.init(codes)
+
+    # Per-shard local batches and their global-index equivalent.
+    local = rng.integers(0, local_n, (num_batches, shards, local_batch))
+    offsets = (np.arange(shards) * local_n)[None, :, None]
+    global_batches = (local + offsets).reshape(num_batches, batch_size)
+
+    mesh = get_mesh(data=shards, points=1)
+    sharded_epoch = ad.make_sharded_epoch(net, net_tx, code_tx, pc_size, mesh, code_opt)
+    code_sh = lambda leaf: NamedSharding(
+        mesh, P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P()
+    )
+    # Placed copies made BEFORE the single-device run: both epoch functions
+    # donate their state buffers.
+    placed = (
+        jax.device_put(params, replicated(mesh)),
+        jax.device_put(codes, data_sharding(mesh, 2)),
+        jax.device_put(net_opt, replicated(mesh)),
+        jax.tree.map(lambda l: jax.device_put(l, code_sh(l)), code_opt),
+        jax.device_put(jnp.asarray(points), data_sharding(mesh, 2)),
+        jax.device_put(jnp.asarray(sdf), data_sharding(mesh, 1)),
+    )
+
+    # Fresh (non-aliased) state for the single-device run: on CPU device_put
+    # can alias the device-0 shard with the source buffer, and both epoch
+    # functions donate their inputs.
+    params_b = net.init(jax.random.PRNGKey(0))
+    codes_b = jax.random.normal(jax.random.PRNGKey(1), (model_count, 128)) * 1e-4
+    _, epoch_fn = ad.make_train_step(net, net_tx, code_tx, pc_size)
+    p1, c1, *_ = epoch_fn(
+        params_b, codes_b, net_tx.init(params_b), code_tx.init(codes_b),
+        jnp.asarray(points), jnp.asarray(sdf), jnp.asarray(global_batches, jnp.int32),
+    )
+
+    p2, c2, *_ , losses = sharded_epoch(*placed, jnp.asarray(local, jnp.int32))
+
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # atol covers fp32 reduction-order noise only (one global mean vs
+    # pmean of shard means); a wrong/missing psum would shift leaves by ~8x.
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-4)
+
+
+def test_create_sharded_batches_layout():
+    """Shard-local balanced batches: indices stay inside each shard's local
+    range and are sign-balanced within tolerance of the pad batch."""
+    from shapegan_tpu.train.sdf_autodecoder import create_sharded_batches
+
+    rng = np.random.default_rng(3)
+    signs = rng.random(4 * 512) > 0.4
+
+    out = create_sharded_batches(signs, batch_size=256, shards=4, rng=rng)
+    assert out.ndim == 3 and out.shape[1:] == (4, 64)
+    assert out.min() >= 0 and out.max() < 512
