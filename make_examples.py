@@ -6,8 +6,9 @@ The reference ships three pretrained voxel-GAN generators
 ``demo_gan.py`` works out of the box. Those artifacts are tens of MB and
 ShapeNet-derived; here the equivalent is a bootstrap script: train small
 checkpoints on synthetic analytic SDF shapes (spheres/boxes/capsules —
-data/synthetic.py) in about a minute on a TPU chip (a few minutes on CPU),
-writing the exact checkpoint layouts the demos load:
+data/synthetic.py) writing the exact checkpoint layouts the demos load (wall-clock is
+compile-dominated: ~25 min through a remote-compile TPU tunnel, much less
+on a local chip; `quick` trims the step counts, not the compile count):
 
   models/generator.npz + discriminator.npz     → demo_gan.py
   models/wgan-generator.npz + wgan-critic.npz  → demo_gan.py wgan
