@@ -73,7 +73,10 @@ def _load_sdf_net(config, epoch=None, filename=None):
     params = net.init(jax.random.PRNGKey(0))
     params = checkpoints.load(params, filename or "sdf_net", epoch=epoch, base=config.model_dir)
     codes = None
-    if filename is None and checkpoints.exists(LATENT_CODES_FILENAME, epoch=epoch, base=config.model_dir):
+    if filename is None:
+        # Raise the clear missing-file error here rather than letting recipes
+        # that index the table fail later with an opaque NoneType error;
+        # recipes that sample codes fresh pass an explicit ``filename``.
         codes = checkpoints.load_array(LATENT_CODES_FILENAME, epoch=epoch, base=config.model_dir)
     return net, params, codes
 
@@ -1028,6 +1031,8 @@ def checkpoint_evolution(args, config):
 def _spread_epochs(epochs, count):
     if len(epochs) <= count:
         return epochs
+    if count == 1:
+        return [epochs[-1]]
     return [epochs[i * (len(epochs) - 1) // (count - 1)] for i in range(count)]
 
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import concurrent.futures
 import glob as globlib
 import os
-import threading
-import queue as queuelib
 from typing import Optional, Sequence
 
 import numpy as np
@@ -227,35 +225,40 @@ class BatchLoader:
             return tuple(np.stack(parts) for parts in zip(*items))
         return np.stack(items)
 
+    def _iter_bounded(self, submit, resolve):
+        """Epoch-order streaming with REAL back-pressure: at most
+        ``num_workers + prefetch`` batches are submitted-but-unconsumed, so a
+        slow training step bounds decoded-batch memory at window x batch
+        bytes instead of the whole epoch (Pool.imap and eagerly-submitted
+        executor futures both buffer every finished batch)."""
+        import collections
+
+        window = self.num_workers + self.prefetch
+        pending = collections.deque()
+        for idx in self._batch_indices():
+            pending.append(submit(idx))
+            if len(pending) >= window:
+                yield resolve(pending.popleft())
+        while pending:
+            yield resolve(pending.popleft())
+
     def __iter__(self):
         if self.backend == "process":
-            yield from self._iter_process()
+            pool = self._process_pool()
+            yield from self._iter_bounded(
+                lambda idx: pool.apply_async(_process_worker_collate, (idx,)),
+                lambda r: r.get(),
+            )
             return
-        q: queuelib.Queue = queuelib.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        def producer():
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._collate, idx) for idx in self._batch_indices()]
-                for fut in futures:
-                    q.put(fut.result())
-            q.put(sentinel)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
-
-    def _iter_process(self):
-        pool = self._process_pool()
-        batches = list(self._batch_indices())
-        # imap keeps epoch order (shuffle already randomized it) and streams
-        # results as workers finish — bounded look-ahead via chunksize 1.
-        yield from pool.imap(_process_worker_collate, batches, chunksize=1)
+        pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+        try:
+            yield from self._iter_bounded(
+                lambda idx: pool.submit(self._collate, idx),
+                lambda fut: fut.result(),
+            )
+        finally:
+            # Early break / exception: drop queued work so the epoch stops.
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def prefetch_to_device(iterator, put, buffer_size: int = 2):

@@ -42,7 +42,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
+        source = os.path.join(_NATIVE_DIR, "mesh_sdf.cpp")
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.exists(source)
+            and os.path.getmtime(source) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
                 check=True, capture_output=True, timeout=120,

@@ -235,11 +235,12 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     start = points + directions * 0.1
     status = jnp.where(mask, _ACTIVE, _MISS)
     n = points.shape[0]
-    # A zero-iteration leading stage compacts the masked lanes into a 5n/8
-    # bucket BEFORE any SDF evaluation (the mask rarely covers more than half
-    # the frame; overflow lanes stay ACTIVE and render shadowed, the same
-    # approximation as budget exhaustion).
-    schedule = ((0, -(-5 * n // 8)), (40, n_bucket)) if n > 2048 else ()
+    # First stage runs FULL WIDTH: a zero-iteration pre-compaction into a
+    # sub-n bucket silently mis-shades every masked lane beyond the bucket
+    # as fully shadowed when the model covers most of the frame (close-ups).
+    # Shadow rays step at clamp 0.1, so nearly all resolve within 40 steps;
+    # the post-40 compaction into n_bucket then holds the rare survivors.
+    schedule = ((40, n_bucket),) if n > 2048 else ()
     _, status = _trace_staged(
         "shadow", params, latent, start, directions, status, 200,
         threshold, 0.1, sdf_offset, radius, schedule,

@@ -450,11 +450,17 @@ class MeshRenderer:
         no display needed."""
         if self._window is not None:
             image = self._get_image_gl()
+        elif getattr(self, "_gl_failed", False):
+            image = self._get_image_software()
         else:
             try:
                 image = self._get_image_gl()
-            except Exception:
+            except Exception as e:
+                # Cache the failure: without this every headless get_image
+                # call re-attempts (and re-fails) a full pygame/GL init.
+                self._gl_failed = True
                 self._window = None
+                print(f"GL offscreen render unavailable ({e}); using software rasterizer")
                 image = self._get_image_software()
         if greyscale:
             image = image.mean(axis=2).astype(np.uint8)
