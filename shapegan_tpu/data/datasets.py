@@ -230,20 +230,18 @@ class BatchLoader:
         ``num_workers + prefetch`` batches are submitted-but-unconsumed, so a
         slow training step bounds decoded-batch memory at window x batch
         bytes instead of the whole epoch (Pool.imap and eagerly-submitted
-        executor futures both buffer every finished batch)."""
-        import collections
-
+        executor futures both buffer every finished batch). The bounded
+        in-flight deque is ``prefetch_to_device`` — same invariant, with
+        ``submit`` as the dispatch and ``resolve`` joining each handle."""
         window = self.num_workers + self.prefetch
-        pending = collections.deque()
-        for idx in self._batch_indices():
-            pending.append(submit(idx))
-            if len(pending) >= window:
-                yield resolve(pending.popleft())
-        while pending:
-            yield resolve(pending.popleft())
+        for handle in prefetch_to_device(self._batch_indices(), submit, buffer_size=window):
+            yield resolve(handle)
 
     def __iter__(self):
         if self.backend == "process":
+            # Early break / exception: the <= window already-submitted batches
+            # finish decoding in the persistent pool and are dropped — bounded
+            # waste, no cancellation API on apply_async.
             pool = self._process_pool()
             yield from self._iter_bounded(
                 lambda idx: pool.apply_async(_process_worker_collate, (idx,)),

@@ -18,16 +18,13 @@ API mirrors the pieces of mesh_to_sdf the reference uses:
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
 from shapegan_tpu.data.mesh_io import TriangleMesh
+from shapegan_tpu.native import load_library
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libmesh_sdf.so")
 _lib = None
 _lib_failed = False
 
@@ -41,33 +38,22 @@ def _load_native() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    try:
-        source = os.path.join(_NATIVE_DIR, "mesh_sdf.cpp")
-        stale = not os.path.exists(_LIB_PATH) or (
-            os.path.exists(source)
-            and os.path.getmtime(source) > os.path.getmtime(_LIB_PATH)
-        )
-        if stale:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True, capture_output=True, timeout=120,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.mesh_sdf_create.restype = ctypes.c_void_p
-        lib.mesh_sdf_create.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.mesh_sdf_query.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.mesh_sdf_query_unsigned.argtypes = lib.mesh_sdf_query.argtypes
-        lib.mesh_sdf_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
-    except Exception as e:  # pragma: no cover - depends on toolchain
-        print(f"mesh_sdf native build unavailable ({e}); using numpy fallback")
+    lib = load_library("mesh_sdf.cpp", "libmesh_sdf.so")
+    if lib is None:
         _lib_failed = True
+        return None
+    lib.mesh_sdf_create.restype = ctypes.c_void_p
+    lib.mesh_sdf_create.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.mesh_sdf_query.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mesh_sdf_query_unsigned.argtypes = lib.mesh_sdf_query.argtypes
+    lib.mesh_sdf_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
     return _lib
 
 

@@ -227,23 +227,23 @@ def get_shadows(net, params, latent_code, points, light_position, threshold: flo
 
 
 def _shadow_factor(params, latent, points, mask, light_position, threshold,
-                   sdf_offset, radius, n_bucket):
+                   sdf_offset, radius):
     """On-device shadow test for the masked lanes: 1.0 where the 200-step ray
-    toward the light re-hits the shape (or is still active — reference :122)."""
+    toward the light re-hits the shape (or is still active — reference :122).
+
+    The first schedule stage runs FULL WIDTH (no pre-compaction): compacting
+    the masked lanes into a sub-n bucket before tracing silently mis-shades
+    every lane beyond the bucket as fully shadowed when the model covers most
+    of the frame (close-ups). Shadow rays step at clamp 0.1, so nearly all
+    resolve within `_default_schedule`'s 40-step first stage."""
     directions = light_position[None, :] - points
     directions = directions / jnp.linalg.norm(directions, axis=1, keepdims=True)
     start = points + directions * 0.1
     status = jnp.where(mask, _ACTIVE, _MISS)
-    n = points.shape[0]
-    # First stage runs FULL WIDTH: a zero-iteration pre-compaction into a
-    # sub-n bucket silently mis-shades every masked lane beyond the bucket
-    # as fully shadowed when the model covers most of the frame (close-ups).
-    # Shadow rays step at clamp 0.1, so nearly all resolve within 40 steps;
-    # the post-40 compaction into n_bucket then holds the rare survivors.
-    schedule = ((40, n_bucket),) if n > 2048 else ()
     _, status = _trace_staged(
         "shadow", params, latent, start, directions, status, 200,
-        threshold, 0.1, sdf_offset, radius, schedule,
+        threshold, 0.1, sdf_offset, radius,
+        _default_schedule("shadow", points.shape[0], 200),
     )
     return ((status == _HIT) | (status == _ACTIVE)).astype(jnp.float32)
 
@@ -303,7 +303,7 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
 
     seen_by_light = 1.0 - _shadow_factor(
         params, latent, points, model_mask, light_position,
-        0.001, sdf_offset, radius, -(-n // 4),
+        0.001, sdf_offset, radius,
     )
 
     light_direction = light_position[None, :] - points
@@ -335,7 +335,7 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     ground &= near
     ground_shadow = _shadow_factor(
         params, latent, jnp.where(ground[:, None], g_pts, 2.0 + radius), ground,
-        light_position, 0.001, sdf_offset, 1.0, -(-n // 4),
+        light_position, 0.001, sdf_offset, 1.0,
     )
     pixels = pixels - jnp.where(ground, (1.0 - 0.65) * ground_shadow, 0.0)[:, None]
 

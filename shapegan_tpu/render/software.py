@@ -17,16 +17,14 @@ so `MeshRenderer.get_image` works on headless TPU hosts.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
+from shapegan_tpu.native import load_library
+
 SHADOW_TEXTURE_SIZE = 1024
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "librasterizer.so")
 _lib = None
 _lib_failed = False
 
@@ -35,32 +33,21 @@ def _load_native() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    try:
-        source = os.path.join(_NATIVE_DIR, "rasterizer.cpp")
-        stale = not os.path.exists(_LIB_PATH) or (
-            os.path.exists(source)
-            and os.path.getmtime(source) > os.path.getmtime(_LIB_PATH)
-        )
-        if stale:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "librasterizer.so"],
-                check=True, capture_output=True, timeout=120,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.rasterize_scene.restype = None
-        lib.rasterize_scene.argtypes = [
-            f32p, f32p, ctypes.c_long,          # vertices, normals, n_vertices
-            f32p, f32p, f32p,                   # camera_vp, light_vp, light_vp_inv
-            ctypes.c_float, ctypes.c_int,       # ground_level, draw_floor
-            f32p, f32p,                         # albedo, background
-            ctypes.c_int, ctypes.c_int,         # size, shadow_size
-            ctypes.POINTER(ctypes.c_ubyte),     # out_rgb
-        ]
-        _lib = lib
-    except Exception as e:  # pragma: no cover - depends on toolchain
-        print(f"rasterizer native build unavailable ({e}); using numpy fallback")
+    lib = load_library("rasterizer.cpp", "librasterizer.so")
+    if lib is None:
         _lib_failed = True
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.rasterize_scene.restype = None
+    lib.rasterize_scene.argtypes = [
+        f32p, f32p, ctypes.c_long,          # vertices, normals, n_vertices
+        f32p, f32p, f32p,                   # camera_vp, light_vp, light_vp_inv
+        ctypes.c_float, ctypes.c_int,       # ground_level, draw_floor
+        f32p, f32p,                         # albedo, background
+        ctypes.c_int, ctypes.c_int,         # size, shadow_size
+        ctypes.POINTER(ctypes.c_ubyte),     # out_rgb
+    ]
+    _lib = lib
     return _lib
 
 

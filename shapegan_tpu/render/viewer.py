@@ -395,6 +395,9 @@ class MeshRenderer:
             self._init_gl()
         except Exception as e:
             print(f"GL viewer disabled ({type(e).__name__}: {e})")
+            # Remember the init failure so get_image goes straight to the
+            # software rasterizer instead of re-attempting GL init per call.
+            self._gl_failed = True
             self._running = False
             return
         dragging = False
@@ -460,6 +463,12 @@ class MeshRenderer:
                 # call re-attempts (and re-fails) a full pygame/GL init.
                 self._gl_failed = True
                 self._window = None
+                try:  # tear down a partially-initialized display/context
+                    import pygame
+
+                    pygame.display.quit()
+                except Exception:
+                    pass
                 print(f"GL offscreen render unavailable ({e}); using software rasterizer")
                 image = self._get_image_software()
         if greyscale:
