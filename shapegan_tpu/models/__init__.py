@@ -41,6 +41,18 @@ def torch_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype=dtype, minval=-bound, maxval=bound)
 
 
+def torch_uniform_init_transpose(key, shape, dtype=jnp.float32):
+    """PyTorch's default ConvTranspose weight init.
+
+    Torch stores transposed-conv weights as (in, out, *k) and computes
+    fan_in from dim 1 — i.e. out_channels * prod(k), NOT in_channels *
+    prod(k). Linen ConvTranspose kernels are (*spatial, in, out), so the
+    torch-equivalent fan_in is shape[-1] * prod(shape[:-2])."""
+    fan_in = shape[-1] * math.prod(shape[:-2])
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype=dtype, minval=-bound, maxval=bound)
+
+
 def make_torch_bias_init(fan_in: int):
     bound = 1.0 / math.sqrt(fan_in)
 

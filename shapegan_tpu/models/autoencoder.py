@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from shapegan_tpu import LATENT_CODE_SIZE
-from shapegan_tpu.models import torch_uniform_init
+from shapegan_tpu.models import (
+    make_torch_bias_init,
+    torch_uniform_init,
+    torch_uniform_init_transpose,
+)
 
 AUTOENCODER_MODEL_COMPLEXITY_MULTIPLIER = 24
 amcm = AUTOENCODER_MODEL_COMPLEXITY_MULTIPLIER
@@ -43,29 +47,44 @@ class Autoencoder(nn.Module):
         bn = lambda: nn.BatchNorm(
             momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name, use_fast_variance=False
         )
-        conv = lambda f, s, p: nn.Conv(
-            f, kernel_size=(4, 4, 4), strides=(s,) * 3, padding=p, kernel_init=torch_uniform_init
+        # bias fan-in follows torch: Conv = in_ch*k^3, ConvTranspose = out_ch*k^3
+        conv = lambda f, in_ch, s, p: nn.Conv(
+            f, kernel_size=(4, 4, 4), strides=(s,) * 3, padding=p,
+            kernel_init=torch_uniform_init, bias_init=make_torch_bias_init(in_ch * 64),
         )
         convt = lambda f, s, p: nn.ConvTranspose(
-            f, kernel_size=(4, 4, 4), strides=(s,) * 3, padding=p, kernel_init=torch_uniform_init
+            f, kernel_size=(4, 4, 4), strides=(s,) * 3, padding=p,
+            kernel_init=torch_uniform_init_transpose, bias_init=make_torch_bias_init(f * 64),
         )
         halve = [(1, 1)] * 3
 
         self.enc_convs = [
-            conv(amcm, 2, halve),
-            conv(2 * amcm, 2, halve),
-            conv(4 * amcm, 2, halve),
-            conv(self.latent_code_size * 2, 1, "VALID"),
+            conv(amcm, 1, 2, halve),
+            conv(2 * amcm, amcm, 2, halve),
+            conv(4 * amcm, 2 * amcm, 2, halve),
+            conv(self.latent_code_size * 2, 4 * amcm, 1, "VALID"),
         ]
         self.enc_bns = [bn() for _ in range(4)]
-        self.enc_dense = nn.Dense(self.latent_code_size, kernel_init=torch_uniform_init)
+        self.enc_dense = nn.Dense(
+            self.latent_code_size, kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(self.latent_code_size * 2),
+        )
 
         if self.is_variational:
             self.vae_bn = bn()
-            self.encode_mean = nn.Dense(self.latent_code_size, kernel_init=torch_uniform_init)
-            self.encode_log_variance = nn.Dense(self.latent_code_size, kernel_init=torch_uniform_init)
+            self.encode_mean = nn.Dense(
+                self.latent_code_size, kernel_init=torch_uniform_init,
+                bias_init=make_torch_bias_init(self.latent_code_size),
+            )
+            self.encode_log_variance = nn.Dense(
+                self.latent_code_size, kernel_init=torch_uniform_init,
+                bias_init=make_torch_bias_init(self.latent_code_size),
+            )
 
-        self.dec_dense = nn.Dense(self.latent_code_size * 2, kernel_init=torch_uniform_init)
+        self.dec_dense = nn.Dense(
+            self.latent_code_size * 2, kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(self.latent_code_size),
+        )
         self.dec_bn_dense = bn()
         self.dec_convts = [
             convt(4 * amcm, 1, "VALID"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from shapegan_tpu.models import torch_uniform_init
+from shapegan_tpu.models import make_torch_bias_init, torch_uniform_init
 
 
 class Classifier(nn.Module):
@@ -26,13 +26,20 @@ class Classifier(nn.Module):
         if x.ndim == 4:
             x = x[..., None]  # NDHWC channel axis
 
-        x = nn.relu(nn.Conv(12, kernel_size=(5, 5, 5), padding="VALID", kernel_init=torch_uniform_init)(x))
+        conv = lambda f, in_ch: nn.Conv(
+            f, kernel_size=(5, 5, 5), padding="VALID", kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(in_ch * 125),
+        )
+        x = nn.relu(conv(12, 1)(x))
         x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
-        x = nn.relu(nn.Conv(16, kernel_size=(5, 5, 5), padding="VALID", kernel_init=torch_uniform_init)(x))
+        x = nn.relu(conv(16, 12)(x))
         x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
-        x = nn.relu(nn.Conv(32, kernel_size=(5, 5, 5), padding="VALID", kernel_init=torch_uniform_init)(x))
+        x = nn.relu(conv(32, 16)(x))
         x = x.reshape((x.shape[0], -1))
-        logits = nn.Dense(self.label_count, kernel_init=torch_uniform_init)(x)
+        logits = nn.Dense(
+            self.label_count, kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(x.shape[-1]),
+        )(x)
         if return_logits:
             return logits
         return jnp.asarray(nn.softmax(logits, axis=1))

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from shapegan_tpu import LATENT_CODE_SIZE
-from shapegan_tpu.models import torch_uniform_init
+from shapegan_tpu.models import (
+    make_torch_bias_init,
+    torch_uniform_init,
+    torch_uniform_init_transpose,
+)
 
 
 def _lrelu(x):
@@ -40,18 +44,21 @@ class Generator(nn.Module):
         x = z.reshape((-1, 1, 1, 1, self.latent_code_size))
         x = nn.ConvTranspose(
             256, kernel_size=(4, 4, 4), strides=(1, 1, 1), padding="VALID",
-            kernel_init=torch_uniform_init, name="convt0",
+            kernel_init=torch_uniform_init_transpose,
+            bias_init=make_torch_bias_init(256 * 64), name="convt0",
         )(x)
         x = _lrelu(bn("bn0")(x, use_running_average=not train))
         for i, features in enumerate((128, 64)):
             x = nn.ConvTranspose(
                 features, kernel_size=(4, 4, 4), strides=(2, 2, 2), padding="SAME",
-                kernel_init=torch_uniform_init, name=f"convt{i + 1}",
+                kernel_init=torch_uniform_init_transpose,
+                bias_init=make_torch_bias_init(features * 64), name=f"convt{i + 1}",
             )(x)
             x = _lrelu(bn(f"bn{i + 1}")(x, use_running_average=not train))
         x = nn.ConvTranspose(
             1, kernel_size=(4, 4, 4), strides=(2, 2, 2), padding="SAME",
-            kernel_init=torch_uniform_init, name="convt3",
+            kernel_init=torch_uniform_init_transpose,
+            bias_init=make_torch_bias_init(1 * 64), name="convt3",
         )(x)
         return jnp.tanh(jnp.squeeze(x, axis=-1))  # [B, 32, 32, 32]
 
@@ -69,15 +76,17 @@ class Discriminator(nn.Module):
     def __call__(self, x):
         if x.ndim == 4:
             x = x[..., None]  # add channel axis (NDHWC)
-        for i, features in enumerate((64, 128, 256)):
+        for i, (features, in_ch) in enumerate(((64, 1), (128, 64), (256, 128))):
             x = nn.Conv(
                 features, kernel_size=(4, 4, 4), strides=(2, 2, 2), padding=[(1, 1)] * 3,
-                kernel_init=torch_uniform_init, name=f"conv{i}",
+                kernel_init=torch_uniform_init,
+                bias_init=make_torch_bias_init(in_ch * 64), name=f"conv{i}",
             )(x)
             x = _lrelu(x)
         x = nn.Conv(
             1, kernel_size=(4, 4, 4), strides=(1, 1, 1), padding="VALID",
-            kernel_init=torch_uniform_init, name="conv3",
+            kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(256 * 64), name="conv3",
         )(x)
         x = x.reshape((x.shape[0],))
         return jax.nn.sigmoid(x) if self.use_sigmoid else x

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from shapegan_tpu.models import torch_uniform_init
+from shapegan_tpu.models import make_torch_bias_init, torch_uniform_init
 
 
 class PointNet(nn.Module):
@@ -45,9 +45,12 @@ class PointNet(nn.Module):
             dist = dist[..., None]
         x = jnp.concatenate([pos, dist], axis=-1)
 
+        dense = lambda f, fan: nn.Dense(
+            f, kernel_init=torch_uniform_init, bias_init=make_torch_bias_init(fan)
+        )
         for features in (64, 128, 256):
-            x = nn.relu(nn.Dense(features, kernel_init=torch_uniform_init)(x))
-        x = nn.Dense(512, kernel_init=torch_uniform_init)(x)
+            x = nn.relu(dense(features, x.shape[-1])(x))
+        x = dense(512, x.shape[-1])(x)
 
         if batch is None:
             if mask is not None:
@@ -59,8 +62,8 @@ class PointNet(nn.Module):
             x = jax.ops.segment_max(x, batch, num_segments=num_segments)
 
         for features in (256, 128):
-            x = nn.relu(nn.Dense(features, kernel_init=torch_uniform_init)(x))
-        return nn.Dense(self.out_channels, kernel_init=torch_uniform_init)(x)
+            x = nn.relu(dense(features, x.shape[-1])(x))
+        return dense(self.out_channels, x.shape[-1])(x)
 
 
 class SDFGenerator(nn.Module):
@@ -87,8 +90,12 @@ class SDFGenerator(nn.Module):
         assert pos.shape[0] == z.shape[0]
 
         half = self.num_layers // 2
-        z1 = nn.Dense(self.hidden_channels, kernel_init=torch_uniform_init, name="z_lin1")(z)
-        z2 = nn.Dense(self.hidden_channels, kernel_init=torch_uniform_init, name="z_lin2")(z)
+        z_dense = lambda name: nn.Dense(
+            self.hidden_channels, kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(self.latent_channels), name=name,
+        )
+        z1 = z_dense("z_lin1")(z)
+        z2 = z_dense("z_lin2")(z)
 
         dropout_rng = rng
         x = pos
@@ -96,7 +103,10 @@ class SDFGenerator(nn.Module):
             if i == half:
                 x = jnp.concatenate([x, pos], axis=-1)
             out_features = 1 if i == self.num_layers - 1 else self.hidden_channels
-            x = nn.Dense(out_features, kernel_init=torch_uniform_init, name=f"lin{i}")(x)
+            x = nn.Dense(
+                out_features, kernel_init=torch_uniform_init,
+                bias_init=make_torch_bias_init(x.shape[-1]), name=f"lin{i}",
+            )(x)
             if i == 0:
                 x = x + z1[:, None, :]
             if i == half:

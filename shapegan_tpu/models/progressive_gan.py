@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from shapegan_tpu import LATENT_CODE_SIZE  # noqa: F401
-from shapegan_tpu.models import torch_uniform_init
+from shapegan_tpu.models import make_torch_bias_init, torch_uniform_init
 
 RESOLUTIONS = [8, 16, 32, 64]
 FEATURE_COUNTS = [128, 64, 32, 1]
@@ -66,11 +66,17 @@ class ProgressiveDiscriminator(nn.Module):
                 strides=(2, 2, 2),
                 padding=[(1, 1)] * 3,
                 kernel_init=torch_uniform_init,
+                bias_init=make_torch_bias_init(FEATURE_COUNTS[i] * 64),
             )
             for i in range(len(FEATURE_COUNTS))
         ]
-        self.head_dense1 = nn.Dense(128, kernel_init=torch_uniform_init)
-        self.head_dense2 = nn.Dense(1, kernel_init=torch_uniform_init)
+        self.head_dense1 = nn.Dense(
+            128, kernel_init=torch_uniform_init,
+            bias_init=make_torch_bias_init(64 * FINAL_LAYER_FEATURES),
+        )
+        self.head_dense2 = nn.Dense(
+            1, kernel_init=torch_uniform_init, bias_init=make_torch_bias_init(128)
+        )
 
     def __call__(self, x, iteration: int = 0, fade_in_progress=1.0):
         x_in = x

@@ -62,7 +62,10 @@ def init(key: jax.Array, latent_size: int = LATENT_CODE_SIZE, breadth: int = SDF
     Linear; ``w5h``/``w5p``/``w5z`` to rows [0:B]/[B:B+3]/[B+3:] of the
     reference's fifth Linear (layers2[0], whose input is cat(h, p, z)).
     """
-    keys = jax.random.split(key, 16)
+    # One key per tensor: sharing a key between a weight and its bias makes
+    # the bias exactly equal the weight's first row (counter-based PRNG), not
+    # the independent draws of the PyTorch default this claims parity with.
+    keys = jax.random.split(key, 18)
     b = breadth
     fi1 = 3 + latent_size
     fi5 = b + 3 + latent_size
@@ -71,21 +74,21 @@ def init(key: jax.Array, latent_size: int = LATENT_CODE_SIZE, breadth: int = SDF
         "w1z": _torch_linear_init(keys[1], fi1, (latent_size, b)),
         "b1": _torch_linear_init(keys[2], fi1, (b,)),
         "w2": _torch_linear_init(keys[3], b, (b, b)),
-        "b2": _torch_linear_init(keys[3], b, (b,)),
+        "b2": _torch_linear_init(keys[13], b, (b,)),
         "w3": _torch_linear_init(keys[4], b, (b, b)),
-        "b3": _torch_linear_init(keys[4], b, (b,)),
+        "b3": _torch_linear_init(keys[14], b, (b,)),
         "w4": _torch_linear_init(keys[5], b, (b, b)),
-        "b4": _torch_linear_init(keys[5], b, (b,)),
+        "b4": _torch_linear_init(keys[15], b, (b,)),
         "w5h": _torch_linear_init(keys[6], fi5, (b, b)),
         "w5p": _torch_linear_init(keys[7], fi5, (3, b)),
         "w5z": _torch_linear_init(keys[8], fi5, (latent_size, b)),
         "b5": _torch_linear_init(keys[9], fi5, (b,)),
         "w6": _torch_linear_init(keys[10], b, (b, b)),
-        "b6": _torch_linear_init(keys[10], b, (b,)),
+        "b6": _torch_linear_init(keys[16], b, (b,)),
         "w7": _torch_linear_init(keys[11], b, (b, b)),
-        "b7": _torch_linear_init(keys[11], b, (b,)),
+        "b7": _torch_linear_init(keys[17], b, (b,)),
         "w8": _torch_linear_init(keys[12], b, (b, 1)),
-        "b8": _torch_linear_init(keys[12], b, (1,)),
+        "b8": _torch_linear_init(jax.random.fold_in(keys[12], 1), b, (1,)),
     }
     return p
 

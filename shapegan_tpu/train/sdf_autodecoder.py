@@ -75,6 +75,15 @@ def create_batches(signs: np.ndarray, batch_size: int, rng: np.random.Generator)
     shape for jit) rather than merged into an oversized one."""
     positive = np.nonzero(signs)[0]
     negative = np.nonzero(~signs)[0]
+    if positive.shape[0] == 0 or negative.shape[0] == 0:
+        # Degenerate data (e.g. clouds from an open mesh with no interior
+        # samples): balancing would truncate to zero and the epoch would
+        # silently train nothing / crash on np.stack of an empty list.
+        raise ValueError(
+            "SDF dataset has samples of only one sign "
+            f"({positive.shape[0]} positive / {negative.shape[0]} negative); "
+            "sign-balanced batching needs both — check the data preparation."
+        )
     if negative.shape[0] > positive.shape[0]:
         rng.shuffle(negative)
         negative = negative[: positive.shape[0]]
@@ -321,7 +330,10 @@ def train(config: Optional[TrainConfig] = None):
     profiler = StepProfiler()
 
     epochs = (
-        range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
+        range(first_epoch, config.epochs) if config.epochs else count(first_epoch)
+        # epochs=N is the TOTAL epoch count (train until epoch N), matching the
+        # reference's progressive-trainer semantics and every other trainer here;
+        # a completed run resumed with the same N trains zero further epochs.
     )
     try:
         for epoch in epochs:

@@ -124,7 +124,10 @@ def train(config: Optional[TrainConfig] = None):
 
     first_epoch = logger.first_epoch
     epochs = (
-        range(first_epoch, first_epoch + config.epochs) if config.epochs else count(first_epoch)
+        range(first_epoch, config.epochs) if config.epochs else count(first_epoch)
+        # epochs=N is the TOTAL epoch count (train until epoch N), matching the
+        # reference's progressive-trainer semantics and every other trainer here;
+        # a completed run resumed with the same N trains zero further epochs.
     )
     try:
         for epoch in epochs:

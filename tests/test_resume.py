@@ -61,7 +61,9 @@ def test_autodecoder_resume_reproduces_uninterrupted(tmp_path):
 
     params_full, codes_full = auto.train(config("full", epochs=2, resume=False))
     auto.train(config("split", epochs=1, resume=False))
-    params_resumed, codes_resumed = auto.train(config("split", epochs=1, resume=True))
+    # epochs=N is the TOTAL epoch count in every trainer (reference
+    # progressive semantics): the resumed run trains epoch 1 only.
+    params_resumed, codes_resumed = auto.train(config("split", epochs=2, resume=True))
 
     _assert_trees_equal(params_resumed, params_full)
     np.testing.assert_array_equal(np.asarray(codes_resumed), np.asarray(codes_full))
