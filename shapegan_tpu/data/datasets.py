@@ -87,7 +87,13 @@ class PointDataset:
         uniform = np.load(os.path.join(self.root, "uniform", f"{name}.npy")).astype(np.float32)
         surface = np.load(os.path.join(self.root, "surface", f"{name}.npy")).astype(np.float32)
         sample = np.random.choice(uniform.shape[0], self.num_points)
-        return uniform[sample], surface[sample]
+        if surface.shape[0] == uniform.shape[0]:
+            # Reference parity: one shared index draw for both files
+            # (/root/reference/datasets.py:74-75; prep writes equal counts).
+            return uniform[sample], surface[sample]
+        # Prep configured with distinct uniform/surface counts: reusing the
+        # uniform indices would crash (or bias the surface subsample).
+        return uniform[sample], surface[np.random.choice(surface.shape[0], self.num_points)]
 
     @staticmethod
     def from_split(root: str, split: str, num_points: int = 1024) -> "PointDataset":

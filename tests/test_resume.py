@@ -67,3 +67,22 @@ def test_autodecoder_resume_reproduces_uninterrupted(tmp_path):
 
     _assert_trees_equal(params_resumed, params_full)
     np.testing.assert_array_equal(np.asarray(codes_resumed), np.asarray(codes_full))
+
+
+def test_epochs_is_total_across_trainers(tmp_path, monkeypatch):
+    """epochs=N means "train until epoch N" in EVERY trainer (the reference's
+    progressive semantics): a completed run resumed with the same N trains
+    zero further epochs, so the CSV log stays at N lines."""
+    monkeypatch.chdir(tmp_path)
+    from shapegan_tpu.train import gan as gan_train
+
+    cfg = dict(
+        synthetic=4, batch_size=2, epochs=1, nogui=True, seed=7,
+        model_dir=str(tmp_path / "models"), plot_dir=str(tmp_path / "plots"),
+    )
+    (tmp_path / "plots").mkdir(exist_ok=True)
+    gan_train.train(TrainConfig(**cfg))
+    log = tmp_path / "plots" / "gan_training.csv"
+    assert len(log.read_text().strip().splitlines()) == 1
+    gan_train.train(TrainConfig(resume=True, **cfg))
+    assert len(log.read_text().strip().splitlines()) == 1  # nothing retrained
