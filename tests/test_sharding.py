@@ -84,7 +84,10 @@ def test_ae_loss_and_grads_sharded_match_single_device():
         # partitioning legitimately moves small-magnitude leaves by ~1e-3
         # of the global gradient scale, so the bounds are coarse by design;
         # the loss equality above is the tight numerical check.
-        assert np.mean(np.abs(a - b)) < 2e-3 * global_scale
+        # (bound loosened from 2e-3 when torch-parity bias inits made the
+        # BN-grad magnitudes slightly larger; a missing psum is still ~400x
+        # beyond this)
+        assert np.mean(np.abs(a - b)) < 5e-3 * global_scale
         assert np.abs(a - b).max() < 0.1 * global_scale
 
 
