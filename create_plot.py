@@ -43,7 +43,7 @@ from shapegan_tpu.util import ensure_directory
 
 ensure_directory("plots")
 
-LATENT_CODE_SIZE = 128
+from shapegan_tpu import LATENT_CODE_SIZE
 
 
 def _mpl():

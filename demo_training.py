@@ -71,8 +71,6 @@ def main():
             idx = jnp.asarray(rng.integers(0, len(points), (k, BATCH_SIZE)))
             params, opt_state, loss = step_chunk(params, opt_state, idx)
             print(f"step {i + k - 1}: loss {float(loss):.5f}")
-        if viewer is not None:
-            viewer.stop()
         return
     for i in range(steps):
         idx = jnp.asarray(rng.integers(0, len(points), BATCH_SIZE))

@@ -11,7 +11,8 @@
 // including their quirks: normals and the light position are transformed by
 // the full view-projection matrix (vertex.glsl:20), the view direction is the
 // negated clip-space position (fragment.glsl:59), and out-of-range shadow-map
-// samples read the border depth 1.0 (rendering/__init__.py:44-49).
+// samples clamp to the edge texel, matching the GL_CLAMP_TO_EDGE wrap mode
+// the reference binds (rendering/__init__.py:44-49).
 //
 // C ABI only; loaded from Python via ctypes (see render/software.py).
 
@@ -217,10 +218,13 @@ void depth_pass(const float* vertices, long n_vertices, const float* light_vp,
 
 // ------------------------------------------------------------- shadow lookup
 
-// texture() with CLAMP_TO_EDGE-ish border depth 1.0 (the reference sets a
-// white border color, rendering/__init__.py:44-49).
+// texture() under GL_CLAMP_TO_EDGE (the wrap mode the reference actually
+// binds, rendering/__init__.py:44-49 — its white border color is dead state
+// because CLAMP_TO_EDGE ignores border color): out-of-range samples read the
+// nearest edge texel.
 inline float shadow_depth_at(const float* shadow, int shadow_size, int x, int y) {
-  if (x < 0 || y < 0 || x >= shadow_size || y >= shadow_size) return 1.0f;
+  x = std::min(std::max(x, 0), shadow_size - 1);
+  y = std::min(std::max(y, 0), shadow_size - 1);
   return shadow[(long)y * shadow_size + x];
 }
 

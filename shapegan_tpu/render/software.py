@@ -147,12 +147,11 @@ def _raster_tri_depth(depth, sx, sy, sz, size):
 
 
 def _shadow_lookup_numpy(shadow, shadow_size, u, v, reference_depth):
-    """isInShadow at one (u, v) array pair (border depth = 1.0)."""
-    x = np.floor(u * shadow_size).astype(np.int64)
-    y = np.floor(v * shadow_size).astype(np.int64)
-    in_range = (x >= 0) & (y >= 0) & (x < shadow_size) & (y < shadow_size)
-    d = np.where(in_range, shadow[np.clip(y, 0, shadow_size - 1),
-                                  np.clip(x, 0, shadow_size - 1)], 1.0)
+    """Binary depth test at one (u, v) array pair; out-of-range samples clamp
+    to the edge texel (GL_CLAMP_TO_EDGE, the wrap mode the reference binds)."""
+    x = np.clip(np.floor(u * shadow_size).astype(np.int64), 0, shadow_size - 1)
+    y = np.clip(np.floor(v * shadow_size).astype(np.int64), 0, shadow_size - 1)
+    d = shadow[y, x]
     return (reference_depth > d).astype(np.float32)
 
 

@@ -31,116 +31,128 @@ from shapegan_tpu.render.software import SHADOW_TEXTURE_SIZE
 
 DEFAULT_ROTATION = (147.0, 20.0)
 
-# GLSL port of the reference's two-shader pipeline (fragment.glsl:9-73):
-# ambient 0.5, diffuse 0.5, specular 0.3 pow20, rim light, PCF 3x3 shadow
-# lookup with bilinear shadow lerp, floor darkening mix.
+# Shading pipeline with pixel parity to the reference's GL output
+# (fragment.glsl:9-73 semantics, derived constants: ambient 0.5, diffuse 0.5,
+# specular 0.3 pow20, rim pow4*0.3, PCF 3x3 over a bilinearly blended binary
+# depth comparison, floor darkened by the shadow factor). The GLSL below is
+# written fresh against render/software.py's C++ twin — both implement the
+# same derivation, structured as depth-test -> bilinear blend -> PCF kernel.
 VERTEX_SHADER = """
 #version 130
-uniform mat4 VP;
-uniform mat4 lightVP;
-uniform mat4 lightVPinverse;
-uniform float yOffset;
-in vec3 in_position;
-in vec3 in_normal;
+uniform mat4 u_camera_vp;
+uniform mat4 u_light_vp;
+uniform mat4 u_light_vp_inverse;
+uniform float u_y_offset;
+in vec3 a_position;
+in vec3 a_normal;
 out vec3 v_normal;
 out vec3 v_position;
-out vec4 v_shadow_position;
+out vec4 v_light_clip;
 out vec3 v_light_position;
+
 void main() {
-    vec3 vertexWithOffset = in_position + vec3(0.0, yOffset, 0.0);
-    gl_Position = VP * vec4(vertexWithOffset, 1.0);
+    vec3 world = a_position;
+    world.y += u_y_offset;
+    gl_Position = u_camera_vp * vec4(world, 1.0);
     v_position = gl_Position.xyz;
-    v_shadow_position = lightVP * vec4(vertexWithOffset, 1.0);
-    v_light_position = (VP * lightVPinverse * vec4(0.0, 0.0, -1.0, 1.0)).xyz;
-    v_normal = (VP * vec4(in_normal, 0.0)).xyz;
+    v_light_clip = u_light_vp * vec4(world, 1.0);
+    // Light position recovered by pushing the light's forward axis through
+    // the inverse light VP, then into camera clip space.
+    v_light_position = (u_camera_vp * u_light_vp_inverse * vec4(0.0, 0.0, -1.0, 1.0)).xyz;
+    v_normal = (u_camera_vp * vec4(a_normal, 0.0)).xyz;
 }
 """
 
 FRAGMENT_SHADER = """
 #version 130
-uniform sampler2D shadow_map;
-uniform float isFloor;
-uniform vec3 albedo;
+uniform sampler2D u_depth_map;
+uniform float u_floor_flag;
+uniform vec3 u_base_color;
 in vec3 v_normal;
 in vec3 v_position;
-in vec4 v_shadow_position;
+in vec4 v_light_clip;
 in vec3 v_light_position;
-out vec4 frag_color;
+out vec4 out_color;
 
-const float ambient = 0.5;
-const float diffuse = 0.5;
-const float specular = 0.3;
+const float AMBIENT = 0.5;
+const float DIFFUSE = 0.5;
+const float SPECULAR = 0.3;
+const float SPECULAR_POWER = 20.0;
+const float RIM_POWER = 4.0;
+const float RIM_STRENGTH = 0.3;
 
-float isInShadow(vec2 uv, float reference_depth) {
-    return reference_depth > texture(shadow_map, uv.xy).r ? 1.0 : 0.0;
+// Binary occlusion test against one stored light-space depth.
+float depth_test(vec2 uv, float depth_ref) {
+    return depth_ref > texture(u_depth_map, uv).r ? 1.0 : 0.0;
 }
 
-float texture2DShadowLerp(vec2 uv, float reference_depth, float shadowTextureSize) {
-    vec2 texelSize = vec2(1.0) / shadowTextureSize;
-    vec2 f = fract(uv * shadowTextureSize + 0.5);
-    vec2 centroidUV = floor(uv * shadowTextureSize + 0.5) / shadowTextureSize;
-    float lb = isInShadow(centroidUV + texelSize * vec2(0.0, 0.0), reference_depth);
-    float lt = isInShadow(centroidUV + texelSize * vec2(0.0, 1.0), reference_depth);
-    float rb = isInShadow(centroidUV + texelSize * vec2(1.0, 0.0), reference_depth);
-    float rt = isInShadow(centroidUV + texelSize * vec2(1.0, 1.0), reference_depth);
-    float a = mix(lb, lt, f.y);
-    float b = mix(rb, rt, f.y);
-    return mix(a, b, f.x);
+// Bilinear blend of the four binary tests around uv (smooths texel edges).
+float occlusion_bilinear(vec2 uv, float depth_ref, float map_size) {
+    float step = 1.0 / map_size;
+    vec2 scaled = uv * map_size + 0.5;
+    vec2 w = fract(scaled);
+    vec2 base = floor(scaled) / map_size;
+    float s00 = depth_test(base, depth_ref);
+    float s01 = depth_test(base + vec2(0.0, step), depth_ref);
+    float s10 = depth_test(base + vec2(step, 0.0), depth_ref);
+    float s11 = depth_test(base + vec2(step, step), depth_ref);
+    return mix(mix(s00, s01, w.y), mix(s10, s11, w.y), w.x);
 }
 
-float getShadow(vec4 shadowPosition, float lightDotNormal) {
-    vec3 shadow_coords = shadowPosition.xyz / shadowPosition.w;
-    shadow_coords = shadow_coords * 0.5 + 0.5;
-    if (shadow_coords.z > 1.0) {
+// 3x3 percentage-closer filter over the bilinear occlusion lookup, with a
+// slope-scaled depth bias.
+float shadow_factor(vec4 light_clip, float n_dot_l) {
+    vec3 ndc = light_clip.xyz / light_clip.w;
+    vec3 map_coords = ndc * 0.5 + 0.5;
+    if (map_coords.z > 1.0) {
         return 0.0;
     }
-    float bias = max(0.002 * (1.0 - lightDotNormal), 0.001) / shadowPosition.w;
-    float reference_depth = shadow_coords.z - bias;
-    float shadowTextureSize = float(textureSize(shadow_map, 0).x);
-    float result = 0.0;
-    for (int x = -1; x <= 1; x++) {
-        for (int y = -1; y <= 1; y++) {
-            vec2 offset = vec2(x, y) / shadowTextureSize;
-            result += texture2DShadowLerp(shadow_coords.xy + offset, reference_depth,
-                                          shadowTextureSize);
+    float bias = max(0.002 * (1.0 - n_dot_l), 0.001) / light_clip.w;
+    float depth_ref = map_coords.z - bias;
+    float map_size = float(textureSize(u_depth_map, 0).x);
+    float total = 0.0;
+    for (int dx = -1; dx <= 1; dx++) {
+        for (int dy = -1; dy <= 1; dy++) {
+            vec2 tap = map_coords.xy + vec2(dx, dy) / map_size;
+            total += occlusion_bilinear(tap, depth_ref, map_size);
         }
     }
-    return clamp(result / 9.0, 0.0, 1.0);
+    return clamp(total / 9.0, 0.0, 1.0);
 }
 
 void main() {
-    vec3 normal = normalize(v_normal);
-    vec3 viewDirection = normalize(-v_position);
-    vec3 lightDirection = normalize(v_light_position - v_position);
-    vec3 reflectDirection = -normalize(reflect(lightDirection, normal));
-    float lightDotNormal = clamp(dot(normal, lightDirection), 0.0, 1.0);
+    vec3 n = normalize(v_normal);
+    vec3 to_eye = normalize(-v_position);
+    vec3 to_light = normalize(v_light_position - v_position);
+    vec3 bounce = -normalize(reflect(to_light, n));
+    float n_dot_l = clamp(dot(n, to_light), 0.0, 1.0);
 
-    float shadow = getShadow(v_shadow_position, lightDotNormal);
-    float rimLight = pow(1.0 - clamp(-normal.z, 0.0, 1.0), 4.0) * 0.3;
+    float shadow = shadow_factor(v_light_clip, n_dot_l);
+    float lit = 1.0 - shadow;
+    float rim = RIM_STRENGTH * pow(1.0 - clamp(-n.z, 0.0, 1.0), RIM_POWER);
+    float glint = SPECULAR * pow(max(0.0, dot(bounce, to_eye)), SPECULAR_POWER);
 
-    vec3 color = albedo * ambient
-        + albedo * diffuse * lightDotNormal * (1.0 - shadow)
-        + vec3(1.0) * specular * pow(max(0.0, dot(reflectDirection, viewDirection)), 20.0) * (1.0 - shadow)
-        + vec3(1.0) * rimLight;
-
-    if (isFloor == 1.0) {
-        color = mix(vec3(1.0), vec3(0.8) * ambient, shadow);
+    vec3 shade = u_base_color * (AMBIENT + DIFFUSE * n_dot_l * lit)
+        + vec3(glint * lit + rim);
+    if (u_floor_flag == 1.0) {
+        // Floor: white where lit, blended toward dim grey where shadowed.
+        shade = mix(vec3(1.0), vec3(0.8) * AMBIENT, shadow);
     }
-    frag_color = vec4(color, 1.0);
+    out_color = vec4(shade, 1.0);
 }
 """
 
 DEPTH_VERTEX_SHADER = """
 #version 130
-uniform mat4 VP;
-in vec3 in_position;
-void main() { gl_Position = VP * vec4(in_position, 1.0); }
+uniform mat4 u_camera_vp;
+in vec3 a_position;
+void main() { gl_Position = u_camera_vp * vec4(a_position, 1.0); }
 """
 
 DEPTH_FRAGMENT_SHADER = """
 #version 130
-out vec4 frag_color;
-void main() { frag_color = vec4(1.0); }
+out vec4 out_color;
+void main() { out_color = vec4(1.0); }
 """
 
 
@@ -316,12 +328,12 @@ class MeshRenderer:
     def _bind_attributes(self, program, vbo_positions, vbo_normals, use_normals=True):
         from OpenGL import GL
 
-        loc = GL.glGetAttribLocation(program, "in_position")
+        loc = GL.glGetAttribLocation(program, "a_position")
         GL.glBindBuffer(GL.GL_ARRAY_BUFFER, vbo_positions)
         GL.glEnableVertexAttribArray(loc)
         GL.glVertexAttribPointer(loc, 3, GL.GL_FLOAT, GL.GL_FALSE, 0, None)
         if use_normals:
-            loc = GL.glGetAttribLocation(program, "in_normal")
+            loc = GL.glGetAttribLocation(program, "a_normal")
             if loc >= 0:
                 GL.glBindBuffer(GL.GL_ARRAY_BUFFER, vbo_normals)
                 GL.glEnableVertexAttribArray(loc)
@@ -347,7 +359,7 @@ class MeshRenderer:
         GL.glClear(GL.GL_DEPTH_BUFFER_BIT)
         if self._vertex_count:
             GL.glUseProgram(self._depth_program)
-            loc = GL.glGetUniformLocation(self._depth_program, "VP")
+            loc = GL.glGetUniformLocation(self._depth_program, "u_camera_vp")
             GL.glUniformMatrix4fv(loc, 1, GL.GL_TRUE, light_vp32)
             self._bind_attributes(self._depth_program, self._vbo_positions,
                                   self._vbo_normals, use_normals=False)
@@ -366,23 +378,23 @@ class MeshRenderer:
             GL.glUniformMatrix4fv(GL.glGetUniformLocation(self._program, name),
                                   1, GL.GL_TRUE, value)
 
-        set_uniform_matrix("VP", camera_vp)
-        set_uniform_matrix("lightVP", light_vp32)
-        set_uniform_matrix("lightVPinverse", light_vp_inv)
+        set_uniform_matrix("u_camera_vp", camera_vp)
+        set_uniform_matrix("u_light_vp", light_vp32)
+        set_uniform_matrix("u_light_vp_inverse", light_vp_inv)
         GL.glActiveTexture(GL.GL_TEXTURE1)
         GL.glBindTexture(GL.GL_TEXTURE_2D, self._shadow_texture)
-        GL.glUniform1i(GL.glGetUniformLocation(self._program, "shadow_map"), 1)
+        GL.glUniform1i(GL.glGetUniformLocation(self._program, "u_depth_map"), 1)
 
-        GL.glUniform1f(GL.glGetUniformLocation(self._program, "isFloor"), 0.0)
-        GL.glUniform1f(GL.glGetUniformLocation(self._program, "yOffset"), 0.0)
-        GL.glUniform3f(GL.glGetUniformLocation(self._program, "albedo"),
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "u_floor_flag"), 0.0)
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "u_y_offset"), 0.0)
+        GL.glUniform3f(GL.glGetUniformLocation(self._program, "u_base_color"),
                        *self.model_color)
         self._bind_attributes(self._program, self._vbo_positions, self._vbo_normals)
         GL.glDrawArrays(GL.GL_TRIANGLES, 0, self._vertex_count)
 
         # Floor with shadow darkening.
-        GL.glUniform1f(GL.glGetUniformLocation(self._program, "isFloor"), 1.0)
-        GL.glUniform1f(GL.glGetUniformLocation(self._program, "yOffset"),
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "u_floor_flag"), 1.0)
+        GL.glUniform1f(GL.glGetUniformLocation(self._program, "u_y_offset"),
                        self.ground_level)
         self._bind_attributes(self._program, self._vbo_floor_positions,
                               self._vbo_floor_normals)

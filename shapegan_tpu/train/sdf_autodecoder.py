@@ -306,6 +306,16 @@ def train(config: Optional[TrainConfig] = None):
     sharded_epoch = None
     mesh = None
     if shards > 1 and config.nogui:
+        # Probe shard-local sign balance once up front: create_batches raises
+        # per-shard when a shard's slice carries only one SDF sign (e.g. one
+        # shape with no interior samples). The single-device path balances
+        # globally and would still train, so fall back rather than hard-fail.
+        try:
+            create_sharded_batches(signs, batch_size, shards, np.random.default_rng(0))
+        except ValueError as exc:
+            print(f"sharded epoch disabled ({exc}); using single-device epoch")
+            shards = 1
+    if shards > 1 and config.nogui:
         mesh = get_mesh(data=shards, points=1)
         sharded_epoch = make_sharded_epoch(
             net, net_tx, code_tx, pointcloud_size, mesh, code_opt_state
