@@ -3,9 +3,20 @@
 Replaces the reference's external ``mesh_to_sdf`` dependency
 (/root/reference/prepare_shapenet_dataset.py:6, prepare_data.py) with an
 in-framework engine: a native C++ BVH (shapegan_tpu/native/mesh_sdf.cpp —
-exact point-to-triangle distances + 3-axis ray-parity sign, multithreaded)
-loaded through ctypes, with a vectorized numpy fallback when the shared
-library can't be built.
+exact point-to-triangle distances, multithreaded) loaded through ctypes,
+with a vectorized numpy fallback when the shared library can't be built.
+
+Two sign oracles, selected by ``MeshSDF(sign_method=...)``:
+
+  * ``"scan"`` (default) — visibility against N orthographic depth scans
+    from sphere directions: a point is outside iff at least one scan can see
+    it. This is the reference's virtual-scan method (USE_DEPTH_BUFFER=True,
+    SCAN_COUNT=50, SCAN_RESOLUTION=1024, prepare_shapenet_dataset.py:32-35)
+    and the reason non-watertight / double-walled / self-intersecting
+    ShapeNet meshes produce usable SDF ground truth at all.
+  * ``"parity"`` — majority vote of 3 skew-direction ray-crossing parities;
+    exact for closed non-self-intersecting surfaces and cheaper to build
+    (no scan rasterization) — the watertight fast path.
 
 API mirrors the pieces of mesh_to_sdf the reference uses:
   * :class:`MeshSDF`            — repeated queries against one mesh
@@ -24,6 +35,9 @@ import numpy as np
 
 from shapegan_tpu.data.mesh_io import TriangleMesh
 from shapegan_tpu.native import load_library
+
+SCAN_COUNT = 50
+SCAN_RESOLUTION = 1024
 
 _lib = None
 _lib_failed = False
@@ -51,18 +65,32 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.mesh_sdf_query_scan.argtypes = lib.mesh_sdf_query.argtypes
     lib.mesh_sdf_query_unsigned.argtypes = lib.mesh_sdf_query.argtypes
+    lib.mesh_sdf_build_scans.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.mesh_sdf_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
 
 class MeshSDF:
-    """Signed-distance oracle for one triangle mesh."""
+    """Signed-distance oracle for one triangle mesh.
 
-    def __init__(self, mesh: TriangleMesh, use_native: bool = True):
+    ``sign_method``: ``"scan"`` (visibility scans, reference default —
+    correct on non-watertight meshes) or ``"parity"`` (ray parity, the
+    watertight fast path)."""
+
+    def __init__(self, mesh: TriangleMesh, use_native: bool = True,
+                 sign_method: str = "scan", scan_count: int = SCAN_COUNT,
+                 scan_resolution: int = SCAN_RESOLUTION):
+        if sign_method not in ("scan", "parity"):
+            raise ValueError(f"unknown sign_method {sign_method!r}")
         self.mesh = mesh
+        self.sign_method = sign_method
+        self.scan_count = scan_count
+        self.scan_resolution = scan_resolution
         self._handle = None
+        self._numpy_scans = None
         lib = _load_native() if use_native else None
         if lib is not None and len(mesh.faces) > 0:
             vertices = np.ascontiguousarray(mesh.vertices, dtype=np.float32)
@@ -74,6 +102,10 @@ class MeshSDF:
             )
             # keep buffers alive for the handle's lifetime
             self._buffers = (vertices, faces)
+            if sign_method == "scan":
+                lib.mesh_sdf_build_scans(self._handle, scan_count, scan_resolution)
+        elif sign_method == "scan" and len(mesh.faces) > 0:
+            self._numpy_scans = _numpy_build_scans(mesh, scan_count, scan_resolution)
 
     def __del__(self):
         if self._handle is not None:
@@ -86,7 +118,12 @@ class MeshSDF:
         points = np.ascontiguousarray(points, dtype=np.float32).reshape(-1, 3)
         if self._handle is not None:
             out = np.empty(points.shape[0], dtype=np.float32)
-            fn = self._lib.mesh_sdf_query if signed else self._lib.mesh_sdf_query_unsigned
+            if not signed:
+                fn = self._lib.mesh_sdf_query_unsigned
+            elif self.sign_method == "scan":
+                fn = self._lib.mesh_sdf_query_scan
+            else:
+                fn = self._lib.mesh_sdf_query
             fn(
                 self._handle,
                 points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -94,6 +131,10 @@ class MeshSDF:
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
             return out
+        if signed and self.sign_method == "scan" and self._numpy_scans is not None:
+            dist = _numpy_signed_distance(self.mesh, points, signed=False)
+            visible = _numpy_visible_any(self._numpy_scans, points)
+            return np.where(visible, dist, -dist).astype(np.float32)
         return _numpy_signed_distance(self.mesh, points, signed=signed)
 
 
@@ -190,6 +231,101 @@ def _inside_by_parity(points: np.ndarray, tri: np.ndarray) -> np.ndarray:
         hit = ok[None] & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 1e-8)
         votes += (hit.sum(axis=1) % 2 == 1).astype(np.int32)
     return votes >= 2
+
+
+# --------------------------------------------------- numpy visibility scans
+
+
+class _NumpyScans:
+    """Depth buffers + bases for the numpy fallback (mirrors the native
+    DepthScans struct; see native/mesh_sdf.cpp build_scans)."""
+
+    __slots__ = ("res", "center", "half_extent", "bias", "right", "up", "fwd", "depth")
+
+
+def _fibonacci_directions(n: int) -> np.ndarray:
+    golden = 2.3999632297286533  # 2*pi*(1 - 1/phi)
+    i = np.arange(n)
+    y = 1.0 - 2.0 * (i + 0.5) / n
+    r = np.sqrt(np.maximum(0.0, 1.0 - y * y))
+    theta = golden * i
+    return np.stack([r * np.cos(theta), y, r * np.sin(theta)], axis=1)
+
+
+def _numpy_build_scans(mesh: TriangleMesh, n_scans: int, res: int) -> _NumpyScans:
+    scans = _NumpyScans()
+    scans.res = res
+    v = np.asarray(mesh.vertices, np.float64)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    scans.center = (lo + hi) / 2
+    scans.half_extent = float(np.linalg.norm((hi - lo) / 2)) * 1.02 + 1e-6
+    scans.bias = 2.0 * scans.half_extent / res
+    fwd = _fibonacci_directions(n_scans)
+    ref = np.where(np.abs(fwd[:, 1:2]) < 0.99, [[0.0, 1.0, 0.0]], [[1.0, 0.0, 0.0]])
+    right = np.cross(fwd, ref)
+    right /= np.linalg.norm(right, axis=1, keepdims=True)
+    up = np.cross(right, fwd)
+    scans.right, scans.up, scans.fwd = right, up, fwd
+    scans.depth = np.full((n_scans, res, res), np.inf, np.float32)
+
+    tri = np.asarray(mesh.triangles, np.float64) - scans.center  # [F, 3, 3]
+    scale = res / (2.0 * scans.half_extent)
+    for s in range(n_scans):
+        zbuf = scans.depth[s]
+        # Project all triangle vertices into this scan's screen space.
+        sx = (tri @ right[s] + scans.half_extent) * scale  # [F, 3]
+        sy = (tri @ up[s] + scans.half_extent) * scale
+        sz = tri @ fwd[s]
+        area = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+            sy[:, 1] - sy[:, 0]
+        ) * (sx[:, 2] - sx[:, 0])
+        for f in np.nonzero(np.abs(area) >= 1e-12)[0]:
+            x0 = max(0, int(np.floor(sx[f].min())))
+            x1 = min(res - 1, int(np.ceil(sx[f].max())))
+            y0 = max(0, int(np.floor(sy[f].min())))
+            y1 = min(res - 1, int(np.ceil(sy[f].max())))
+            if x0 > x1 or y0 > y1:
+                continue
+            xs, ys = np.meshgrid(
+                np.arange(x0, x1 + 1) + 0.5, np.arange(y0, y1 + 1) + 0.5
+            )
+            inv_area = 1.0 / area[f]
+            w0 = ((sx[f, 1] - xs) * (sy[f, 2] - ys) - (sy[f, 1] - ys) * (sx[f, 2] - xs)) * inv_area
+            w1 = ((sx[f, 2] - xs) * (sy[f, 0] - ys) - (sy[f, 2] - ys) * (sx[f, 0] - xs)) * inv_area
+            w2 = 1.0 - w0 - w1
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            z = w0 * sz[f, 0] + w1 * sz[f, 1] + w2 * sz[f, 2]
+            window = zbuf[y0 : y1 + 1, x0 : x1 + 1]
+            np.minimum(window, np.where(inside, z, np.inf).astype(np.float32), out=window)
+    return scans
+
+
+def _numpy_visible_any(scans: _NumpyScans, points: np.ndarray) -> np.ndarray:
+    """[P] bool: visible in at least one scan (3x3-max conservative depth
+    compare + one-texel bias, exactly as the native visible_in_any_scan)."""
+    res = scans.res
+    scale = res / (2.0 * scans.half_extent)
+    q = points.astype(np.float64) - scans.center
+    visible = np.zeros(points.shape[0], dtype=bool)
+    # Precompute per-scan 3x3 max depth maps once.
+    for s in range(scans.depth.shape[0]):
+        x = (q @ scans.right[s] + scans.half_extent) * scale
+        y = (q @ scans.up[s] + scans.half_extent) * scale
+        z = q @ scans.fwd[s]
+        px = np.floor(x).astype(np.int64)
+        py = np.floor(y).astype(np.int64)
+        out_of_view = (px <= 0) | (py <= 0) | (px >= res - 1) | (py >= res - 1)
+        pxc = np.clip(px, 1, res - 2)
+        pyc = np.clip(py, 1, res - 2)
+        zbuf = scans.depth[s]
+        zmax = np.full(points.shape[0], -np.inf)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                zmax = np.maximum(zmax, zbuf[pyc + dy, pxc + dx])
+        visible |= out_of_view | (z <= zmax + scans.bias)
+        if visible.all():
+            break
+    return visible
 
 
 # ------------------------------------------------------------ sampling API

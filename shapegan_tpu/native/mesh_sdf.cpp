@@ -3,16 +3,30 @@
 // The reference delegates mesh -> SDF ground truth to the external
 // `mesh_to_sdf` package (pyrender virtual scans + scipy cKDTree; see
 // /root/reference/prepare_shapenet_dataset.py:32-35). This is the
-// in-framework native replacement: a median-split AABB BVH over triangles,
-// exact point-to-triangle distances via BVH traversal with branch-and-bound
-// pruning, and sign from +x ray-crossing parity (majority over 3 axis rays
-// for robustness on imperfect meshes). Queries fan out over hardware threads.
+// in-framework native replacement: a median-split AABB BVH over triangles
+// with exact point-to-triangle distances via branch-and-bound traversal,
+// and TWO sign oracles:
+//
+//   * ray parity  — majority of 3 skew-direction crossing parities; exact
+//     for closed, non-self-intersecting surfaces (the watertight fast path);
+//   * depth scans — N orthographic depth renders from sphere directions; a
+//     point is OUTSIDE iff it is visible (unoccluded) in at least one scan.
+//     This is the reference's virtual-scan method (USE_DEPTH_BUFFER=True,
+//     SCAN_COUNT=50, SCAN_RESOLUTION=1024 in prepare_shapenet_dataset.py:
+//     32-35) and is what makes non-watertight / double-walled /
+//     self-intersecting ShapeNet meshes usable: cavities that no camera can
+//     see are classified inside regardless of winding or crossing parity.
+//
+// Queries and scan rasterization fan out over hardware threads.
 //
 // C ABI (ctypes-friendly):
 //   void* mesh_sdf_create(const float* vertices, int n_vertices,
 //                         const int* faces, int n_faces);
+//   void  mesh_sdf_build_scans(void* handle, int n_scans, int resolution);
 //   void  mesh_sdf_query(void* handle, const float* points, int n_points,
-//                        float* out_sdf);        // signed distance
+//                        float* out_sdf);        // parity-signed distance
+//   void  mesh_sdf_query_scan(void*, const float*, int, float*);
+//                                                // scan-signed distance
 //   void  mesh_sdf_query_unsigned(void*, const float*, int, float*);
 //   void  mesh_sdf_destroy(void* handle);
 //
@@ -257,6 +271,148 @@ struct BVH {
   }
 };
 
+void parallel_for(int n, const std::function<void(int, int)>& fn);
+
+// --------------------------------------------------------------- depth scans
+//
+// Orthographic virtual scans for visibility-based sign determination.
+// Directions come from a Fibonacci sphere (even coverage, no pole clustering).
+// Each scan projects the mesh onto a (right, up) image plane orthogonal to
+// the scan direction and keeps the minimum depth (distance along the scan
+// direction) per pixel — a GL depth pre-pass without GL. No backface
+// culling: sign must not depend on winding, which ShapeNet gets wrong often.
+
+struct DepthScans {
+  int n_scans = 0;
+  int res = 0;
+  Vec3 center{0, 0, 0};
+  float half_extent = 1.0f;  // viewport maps [-he, he]^2 around center
+  float bias = 0.0f;         // depth comparison slack (slope/texel error)
+  std::vector<Vec3> right, up, fwd;  // per-scan orthonormal basis
+  std::vector<float> depth;          // [n_scans, res, res]; +inf = empty
+};
+
+inline Vec3 normalized(const Vec3& v) {
+  float n = std::sqrt(norm2(v));
+  return v * (1.0f / std::max(n, 1e-20f));
+}
+
+// Unit directions via the Fibonacci lattice.
+inline Vec3 fibonacci_direction(int i, int n) {
+  const float golden = 2.3999632297286533f;  // 2*pi*(1 - 1/phi)
+  float y = 1.0f - 2.0f * (i + 0.5f) / n;
+  float r = std::sqrt(std::max(0.0f, 1.0f - y * y));
+  float theta = golden * i;
+  return {r * std::cos(theta), y, r * std::sin(theta)};
+}
+
+void build_scans(const BVH& bvh, DepthScans& scans, int n_scans, int res) {
+  scans.n_scans = n_scans;
+  scans.res = res;
+  const AABB& root = bvh.nodes[0].box;
+  scans.center = (root.lo + root.hi) * 0.5f;
+  Vec3 half = (root.hi - root.lo) * 0.5f;
+  scans.half_extent = std::sqrt(norm2(half)) * 1.02f + 1e-6f;
+  // One texel of world space; the visibility test also maxes over a 3x3
+  // neighborhood, so one texel of slack suffices for slope error.
+  scans.bias = 2.0f * scans.half_extent / res;
+  scans.right.resize(n_scans);
+  scans.up.resize(n_scans);
+  scans.fwd.resize(n_scans);
+  scans.depth.assign((size_t)n_scans * res * res,
+                     std::numeric_limits<float>::infinity());
+
+  const int n_tris = (int)bvh.v0.size();
+  parallel_for(n_scans, [&](int lo, int hi) {
+    for (int s = lo; s < hi; ++s) {
+      Vec3 fwd = fibonacci_direction(s, n_scans);
+      Vec3 ref = std::fabs(fwd.y) < 0.99f ? Vec3{0, 1, 0} : Vec3{1, 0, 0};
+      Vec3 right = normalized(cross(fwd, ref));
+      Vec3 up = cross(right, fwd);  // unit by construction
+      scans.right[s] = right;
+      scans.up[s] = up;
+      scans.fwd[s] = fwd;
+      float* zbuf = scans.depth.data() + (size_t)s * res * res;
+      float scale = res / (2.0f * scans.half_extent);
+
+      for (int t = 0; t < n_tris; ++t) {
+        Vec3 a = bvh.v0[t] - scans.center;
+        Vec3 b = a + bvh.e1[t];
+        Vec3 c = a + bvh.e2[t];
+        // Screen coords: [-he, he] -> [0, res] with pixel centers at +0.5.
+        float ax = (dot(a, right) + scans.half_extent) * scale;
+        float ay = (dot(a, up) + scans.half_extent) * scale;
+        float az = dot(a, fwd);
+        float bx = (dot(b, right) + scans.half_extent) * scale;
+        float by = (dot(b, up) + scans.half_extent) * scale;
+        float bz = dot(b, fwd);
+        float cx = (dot(c, right) + scans.half_extent) * scale;
+        float cy = (dot(c, up) + scans.half_extent) * scale;
+        float cz = dot(c, fwd);
+        float area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax);
+        if (std::fabs(area) < 1e-12f) continue;  // edge-on: no coverage
+        float inv_area = 1.0f / area;
+        int x0 = std::max(0, (int)std::floor(std::min({ax, bx, cx})));
+        int x1 = std::min(res - 1, (int)std::ceil(std::max({ax, bx, cx})));
+        int y0 = std::max(0, (int)std::floor(std::min({ay, by, cy})));
+        int y1 = std::min(res - 1, (int)std::ceil(std::max({ay, by, cy})));
+        for (int y = y0; y <= y1; ++y) {
+          float py = y + 0.5f;
+          for (int x = x0; x <= x1; ++x) {
+            float px = x + 0.5f;
+            float w0 = ((bx - px) * (cy - py) - (by - py) * (cx - px)) * inv_area;
+            float w1 = ((cx - px) * (ay - py) - (cy - py) * (ax - px)) * inv_area;
+            float w2 = 1.0f - w0 - w1;
+            if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+            float z = w0 * az + w1 * bz + w2 * cz;
+            float& zb = zbuf[(size_t)y * res + x];
+            if (z < zb) zb = z;
+          }
+        }
+      }
+    }
+  });
+}
+
+// A point is visible in a scan if nothing renders in front of it near its
+// pixel: compare against the MAX depth of the 3x3 neighborhood (conservative
+// visibility — absorbs rasterization slope error at silhouettes) plus one
+// texel of bias. Points projecting outside the viewport are trivially
+// visible (nothing can occlude them: the viewport bounds the whole mesh).
+bool visible_in_any_scan(const DepthScans& scans, const Vec3& p) {
+  const int res = scans.res;
+  float scale = res / (2.0f * scans.half_extent);
+  Vec3 q = p - scans.center;
+  for (int s = 0; s < scans.n_scans; ++s) {
+    float x = (dot(q, scans.right[s]) + scans.half_extent) * scale;
+    float y = (dot(q, scans.up[s]) + scans.half_extent) * scale;
+    int px = (int)std::floor(x);
+    int py = (int)std::floor(y);
+    if (px < 0 || py < 0 || px >= res || py >= res) return true;
+    float z = dot(q, scans.fwd[s]);
+    const float* zbuf = scans.depth.data() + (size_t)s * res * res;
+    float zmax = -std::numeric_limits<float>::infinity();
+    for (int dy = -1; dy <= 1; ++dy) {
+      int yy = py + dy;
+      if (yy < 0 || yy >= res) return true;  // silhouette edge of the map
+      for (int dx = -1; dx <= 1; ++dx) {
+        int xx = px + dx;
+        if (xx < 0 || xx >= res) return true;
+        zmax = std::max(zmax, zbuf[(size_t)yy * res + xx]);
+      }
+    }
+    if (z <= zmax + scans.bias) return true;  // includes empty (+inf) pixels
+  }
+  return false;
+}
+
+// ------------------------------------------------------------------- engine
+
+struct Engine {
+  BVH bvh;
+  DepthScans scans;  // empty until mesh_sdf_build_scans
+};
+
 void parallel_for(int n, const std::function<void(int, int)>& fn) {
   unsigned hw = std::max(1u, std::thread::hardware_concurrency());
   int n_threads = std::min<int>(hw, std::max(1, n / 256));
@@ -280,31 +436,47 @@ extern "C" {
 
 void* mesh_sdf_create(const float* vertices, int n_vertices, const int* faces, int n_faces) {
   (void)n_vertices;
-  auto* bvh = new BVH();
-  bvh->build(vertices, faces, n_faces);
-  return bvh;
+  auto* engine = new Engine();
+  engine->bvh.build(vertices, faces, n_faces);
+  return engine;
+}
+
+void mesh_sdf_build_scans(void* handle, int n_scans, int resolution) {
+  auto* engine = static_cast<Engine*>(handle);
+  build_scans(engine->bvh, engine->scans, n_scans, resolution);
 }
 
 void mesh_sdf_query(void* handle, const float* points, int n_points, float* out_sdf) {
-  auto* bvh = static_cast<BVH*>(handle);
+  auto* engine = static_cast<Engine*>(handle);
   parallel_for(n_points, [&](int lo, int hi) {
     for (int i = lo; i < hi; ++i) {
       Vec3 p{points[3 * i], points[3 * i + 1], points[3 * i + 2]};
-      out_sdf[i] = bvh->signed_distance(p);
+      out_sdf[i] = engine->bvh.signed_distance(p);
+    }
+  });
+}
+
+void mesh_sdf_query_scan(void* handle, const float* points, int n_points, float* out_sdf) {
+  auto* engine = static_cast<Engine*>(handle);
+  parallel_for(n_points, [&](int lo, int hi) {
+    for (int i = lo; i < hi; ++i) {
+      Vec3 p{points[3 * i], points[3 * i + 1], points[3 * i + 2]};
+      float d = std::sqrt(engine->bvh.closest_dist2(p));
+      out_sdf[i] = visible_in_any_scan(engine->scans, p) ? d : -d;
     }
   });
 }
 
 void mesh_sdf_query_unsigned(void* handle, const float* points, int n_points, float* out) {
-  auto* bvh = static_cast<BVH*>(handle);
+  auto* engine = static_cast<Engine*>(handle);
   parallel_for(n_points, [&](int lo, int hi) {
     for (int i = lo; i < hi; ++i) {
       Vec3 p{points[3 * i], points[3 * i + 1], points[3 * i + 2]};
-      out[i] = std::sqrt(bvh->closest_dist2(p));
+      out[i] = std::sqrt(engine->bvh.closest_dist2(p));
     }
   });
 }
 
-void mesh_sdf_destroy(void* handle) { delete static_cast<BVH*>(handle); }
+void mesh_sdf_destroy(void* handle) { delete static_cast<Engine*>(handle); }
 
 }  // extern "C"

@@ -47,10 +47,13 @@ def test_sdf_engine_accuracy_on_sphere():
 
 
 def test_numpy_fallback_matches_native():
+    # parity method: exercises the BVH-vs-numpy distance/parity agreement
+    # without the scan rasterization (scan fallback agreement is covered at
+    # reduced scan params in test_scan_sign.py).
     mesh = make_sphere_mesh(res=16)
     pts = np.random.default_rng(1).uniform(-1, 1, (200, 3)).astype(np.float32)
-    native = MeshSDF(mesh).query(pts)
-    fallback = MeshSDF(mesh, use_native=False).query(pts)
+    native = MeshSDF(mesh, sign_method="parity").query(pts)
+    fallback = MeshSDF(mesh, use_native=False, sign_method="parity").query(pts)
     np.testing.assert_allclose(native, fallback, atol=1e-4)
 
 
