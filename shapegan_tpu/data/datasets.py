@@ -71,35 +71,55 @@ class VoxelDataset:
 
 
 class PointDataset:
-    """Per-shape uniform + near-surface SDF point samples ([N, 4]: xyz + sdf)."""
+    """Per-shape uniform + near-surface SDF point samples ([N, 4]: xyz + sdf).
 
-    def __init__(self, root: str, filenames: Sequence[str], num_points: int = 1024):
+    Subsampling is deterministic when ``seed`` is given: each item draws from
+    ``default_rng((seed, epoch, idx))``, so an interrupted run resumed at
+    epoch N sees exactly the samples the uninterrupted run would have (the
+    reference's unseeded global np.random — datasets.py:74-75 — cannot make
+    that guarantee). Trainers advance ``epoch`` via :meth:`set_epoch`
+    (BatchLoader forwards it, including into process-pool workers)."""
+
+    def __init__(self, root: str, filenames: Sequence[str], num_points: int = 1024,
+                 seed: Optional[int] = None):
         self.root = os.path.expanduser(os.path.normpath(root))
         self.filenames = list(filenames)
         self.num_points = num_points
+        self.seed = seed
+        self.epoch = 0
         assert 0 < num_points <= 64**3
 
     def __len__(self) -> int:
         return len(self.filenames)
 
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _rng_for(self, idx: int) -> np.random.Generator:
+        if self.seed is None:
+            return np.random.default_rng()  # reference semantics: fresh draw
+        return np.random.default_rng((self.seed, self.epoch, idx))
+
     def __getitem__(self, idx: int):
         name = self.filenames[idx]
         uniform = np.load(os.path.join(self.root, "uniform", f"{name}.npy")).astype(np.float32)
         surface = np.load(os.path.join(self.root, "surface", f"{name}.npy")).astype(np.float32)
-        sample = np.random.choice(uniform.shape[0], self.num_points)
+        rng = self._rng_for(idx)
+        sample = rng.choice(uniform.shape[0], self.num_points)
         if surface.shape[0] == uniform.shape[0]:
             # Reference parity: one shared index draw for both files
             # (/root/reference/datasets.py:74-75; prep writes equal counts).
             return uniform[sample], surface[sample]
         # Prep configured with distinct uniform/surface counts: reusing the
         # uniform indices would crash (or bias the surface subsample).
-        return uniform[sample], surface[np.random.choice(surface.shape[0], self.num_points)]
+        return uniform[sample], surface[rng.choice(surface.shape[0], self.num_points)]
 
     @staticmethod
-    def from_split(root: str, split: str, num_points: int = 1024) -> "PointDataset":
+    def from_split(root: str, split: str, num_points: int = 1024,
+                   seed: Optional[int] = None) -> "PointDataset":
         with open(os.path.join(root, f"{split}.txt")) as f:
             filenames = [line for line in f.read().split("\n") if line]
-        return PointDataset(root, filenames, num_points)
+        return PointDataset(root, filenames, num_points, seed=seed)
 
 
 class ArrayDataset:
@@ -122,7 +142,11 @@ def _process_worker_init(dataset):
     _WORKER_DATASET = dataset
 
 
-def _process_worker_collate(indices):
+def _process_worker_collate(indices, epoch=None):
+    # The worker's pinned dataset is a fork/spawn-time COPY — the parent's
+    # set_epoch never reaches it, so the epoch rides along with each task.
+    if epoch is not None and hasattr(_WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(epoch)
     items = [_WORKER_DATASET[int(i)] for i in indices]
     if isinstance(items[0], tuple):
         return tuple(np.stack(parts) for parts in zip(*items))
@@ -164,6 +188,7 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        self._epoch = None
         self._rng = np.random.default_rng(seed)
         if backend == "auto":
             in_memory = isinstance(dataset, ArrayDataset)
@@ -205,7 +230,11 @@ class BatchLoader:
         interrupted run resumed at epoch N draws the exact batch order the
         uninterrupted run would have — the piece of resume reproducibility
         the reference never had (its DataLoader order is process-lifetime
-        state). No-op without a seed."""
+        state). Forwards to the dataset (per-item subsample determinism);
+        shuffle reseed is a no-op without a seed."""
+        self._epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
         if self.seed is not None:
             self._rng = np.random.default_rng((self.seed, epoch))
 
@@ -250,7 +279,7 @@ class BatchLoader:
             # waste, no cancellation API on apply_async.
             pool = self._process_pool()
             yield from self._iter_bounded(
-                lambda idx: pool.apply_async(_process_worker_collate, (idx,)),
+                lambda idx: pool.apply_async(_process_worker_collate, (idx, self._epoch)),
                 lambda r: r.get(),
             )
             return

@@ -119,7 +119,8 @@ class SyntheticPointDataset:
 
     def __init__(self, count_shapes: int, pool_size: int = 16384, num_points: int = 1024, seed: int = 0):
         self.num_points = num_points
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self._uniform = []
         self._surface = []
         for s in range(count_shapes):
@@ -138,9 +139,14 @@ class SyntheticPointDataset:
     def __len__(self):
         return len(self._uniform)
 
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx: int):
+        # (seed, epoch, idx)-keyed draw: resume-reproducible like PointDataset.
         pool = self._uniform[idx]
-        sample = self._rng.choice(pool.shape[0], self.num_points)
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
+        sample = rng.choice(pool.shape[0], self.num_points)
         return pool[sample], self._surface[idx][sample]
 
 

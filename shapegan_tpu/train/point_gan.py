@@ -115,7 +115,9 @@ def resolve_point_dataset(config: TrainConfig):
         from shapegan_tpu.data.synthetic import SyntheticPointDataset
 
         return SyntheticPointDataset(config.synthetic, seed=config.seed)
-    return PointDataset.from_split(os.path.join(config.data_dir, config.category), "train")
+    return PointDataset.from_split(
+        os.path.join(config.data_dir, config.category), "train", seed=config.seed
+    )
 
 
 def train(config: Optional[TrainConfig] = None, curriculum=None):
@@ -149,6 +151,13 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
     profiler = StepProfiler()
     rng = jax.random.PRNGKey(config.seed + 1)
     num_steps = 0
+    # Resume reproduces the uninterrupted run exactly: completed (stage,
+    # epoch) lines in the CSV are fast-forwarded (num_steps advanced so the
+    # fold_in rng stream continues where it left off), and every stochastic
+    # draw — shuffle order, per-item subsample, per-step keys — is keyed by
+    # the global epoch/step counter, never by process-lifetime state.
+    completed_epochs = logger.first_epoch
+    epoch_index = 0
 
     curriculum = curriculum or CURRICULUM
     with mesh:
@@ -166,6 +175,11 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
                 )
                 continue
             for epoch in range(1, stage_epochs + 1):
+                epoch_index += 1
+                if epoch_index <= completed_epochs:
+                    num_steps += len(loader)
+                    continue
+                loader.set_epoch(epoch_index)
                 total_loss = 0.0
                 count = 0
                 with EpochTimer() as timer:
@@ -173,7 +187,7 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
                         num_steps += 1
                         batch = shard_batch(mesh, uniform.astype(np.float32))
                         u_pos, u_dist = batch[..., :3], batch[..., 3:]
-                        rng, drng, grng = jax.random.split(rng, 3)
+                        drng, grng = jax.random.split(jax.random.fold_in(rng, num_steps))
                         with profiler:
                             d_params, d_opt_state, d_loss, gp = d_step(
                                 g_params, d_params, d_opt_state, u_pos, u_dist, drng

@@ -173,6 +173,11 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
     profiler = StepProfiler()
     rng = jax.random.PRNGKey(config.seed + 1)
     num_steps = 0
+    # Resume-reproducibility: same scheme as train/point_gan.py — completed
+    # CSV lines fast-forward the global epoch/step counters, and all
+    # stochastic draws are keyed by those counters.
+    completed_epochs = logger.first_epoch
+    epoch_index = 0
 
     curriculum = curriculum or CURRICULUM
     with mesh:
@@ -190,6 +195,11 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
                 )
                 continue
             for epoch in range(1, stage_epochs + 1):
+                epoch_index += 1
+                if epoch_index <= completed_epochs:
+                    num_steps += len(loader)
+                    continue
+                loader.set_epoch(epoch_index)
                 total_loss, count = 0.0, 0
                 with EpochTimer() as timer:
                     for uniform, surface in loader:
@@ -198,7 +208,7 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
                         surface = shard_batch(mesh, surface.astype(np.float32))
                         u_pos, u_dist = uniform[..., :3], uniform[..., 3:]
                         s_pos, s_dist = surface[..., :3], surface[..., 3:]
-                        rng, drng, grng = jax.random.split(rng, 3)
+                        drng, grng = jax.random.split(jax.random.fold_in(rng, num_steps))
                         with profiler:
                             d_params, d_opt_state, d_loss, gp = d_step(
                                 g_params, d_params, d_opt_state,

@@ -69,6 +69,38 @@ def test_autodecoder_resume_reproduces_uninterrupted(tmp_path):
     np.testing.assert_array_equal(np.asarray(codes_resumed), np.asarray(codes_full))
 
 
+def test_point_gan_resume_reproduces_uninterrupted(tmp_path):
+    """Interrupt mid-curriculum, resume with the full curriculum: completed
+    (stage, epoch) CSV lines fast-forward the global step counter, and the
+    per-item point subsample is keyed by (seed, epoch, index) — so the
+    resumed run is bit-identical to the uninterrupted one. (Unseeded global
+    np.random subsampling — reference datasets.py:74-75 — broke exactly
+    this guarantee for the point trainers.)"""
+    from shapegan_tpu.train import point_gan
+
+    stage1 = (64, 4, 1)
+    stage2 = (128, 4, 1)
+
+    def config(tag, resume):
+        d = tmp_path / tag
+        (d / "plots").mkdir(parents=True, exist_ok=True)
+        return TrainConfig(
+            synthetic=20, resume=resume, seed=11, nogui=True,
+            model_dir=str(d / "models"), plot_dir=str(d / "plots"),
+        )
+
+    g_full, d_full = point_gan.train(config("full", False), curriculum=[stage1, stage2])
+    g1, _ = point_gan.train(config("split", False), curriculum=[stage1])
+    g_res, d_res = point_gan.train(config("split", True), curriculum=[stage1, stage2])
+
+    assert not all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g_full))
+    )
+    _assert_trees_equal(g_res, g_full)
+    _assert_trees_equal(d_res, d_full)
+
+
 def test_epochs_is_total_across_trainers(tmp_path, monkeypatch):
     """epochs=N means "train until epoch N" in EVERY trainer (the reference's
     progressive semantics): a completed run resumed with the same N trains
