@@ -1,6 +1,7 @@
 """Demos and figure factory: pure helpers + end-to-end recipe smoke tests on
 fabricated checkpoints/logs (no GL, no display)."""
 
+import pytest
 import os
 import sys
 
@@ -86,6 +87,7 @@ def test_sdf_slices_and_export_stl(tmp_path, monkeypatch):
     assert os.path.exists("plots/sdf_slices.png")
 
 
+@pytest.mark.slow
 def test_demo_training_short(tmp_path, monkeypatch):
     """demo_training end-to-end with a handful of steps."""
     monkeypatch.chdir(tmp_path)

@@ -27,6 +27,7 @@ def _write_voxel_files(directory, count=24, resolution=16):
     return paths
 
 
+@pytest.mark.slow
 def test_process_backend_matches_thread_backend(tmp_path):
     paths = _write_voxel_files(str(tmp_path), count=10)
     dataset = VoxelDataset(paths)
@@ -44,6 +45,7 @@ def test_process_backend_matches_thread_backend(tmp_path):
         process_loader.close()
 
 
+@pytest.mark.slow
 def test_process_pool_persists_across_epochs(tmp_path):
     paths = _write_voxel_files(str(tmp_path), count=8)
     loader = BatchLoader(VoxelDataset(paths), 4, shuffle=False, backend="process")

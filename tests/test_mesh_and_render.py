@@ -3,6 +3,7 @@ verified against analytic SDFs."""
 
 
 
+import pytest
 import numpy as np
 import jax
 
@@ -117,6 +118,7 @@ def test_binary_voxel_mesh_normals_outward():
     assert (outward > 0).all()
 
 
+@pytest.mark.slow
 def test_sdfnet_get_mesh_and_raymarch_on_trained_sphere():
     """Overfit a tiny SDFNet to a sphere, then check BOTH inference paths:
     mesh extraction and the sphere-traced render."""

@@ -1,5 +1,6 @@
 """Metrics, classifier trainer, checkpoint semantics, CLI parsing."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,7 @@ def test_sample_from_voxels():
     assert np.abs(clouds).max() <= 0.5 + 1e-5
 
 
+@pytest.mark.slow
 def test_classifier_learns_synthetic_classes():
     from shapegan_tpu.train import classifier as clf
 

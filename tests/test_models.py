@@ -1,5 +1,6 @@
 """Model zoo: shapes, parameter structure, and behavioral invariants."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,7 @@ from shapegan_tpu.models.classifier import Classifier
 from shapegan_tpu.models.point_sdf_net import PointNet, SDFGenerator
 
 
+@pytest.mark.slow
 def test_autoencoder_classic_shapes():
     model = Autoencoder(is_variational=False)
     x = jnp.zeros((2, 32, 32, 32))
@@ -25,6 +27,7 @@ def test_autoencoder_classic_shapes():
     assert out.shape == (2, 32, 32, 32)
 
 
+@pytest.mark.slow
 def test_autoencoder_vae_shapes_and_reparam():
     model = Autoencoder(is_variational=True)
     x = jnp.zeros((2, 32, 32, 32))
@@ -54,6 +57,7 @@ def test_autoencoder_batchnorm_updates_stats():
     assert changed
 
 
+@pytest.mark.slow
 def test_generator_output():
     gen = Generator()
     z = jax.random.normal(jax.random.PRNGKey(0), (3, 128))
@@ -82,6 +86,7 @@ def test_clip_parameters():
     np.testing.assert_allclose(np.asarray(clipped["a"]), [-0.01, 0.005, 0.01])
 
 
+@pytest.mark.slow
 def test_progressive_discriminator_all_iterations():
     d = ProgressiveDiscriminator()
     # Init at the deepest iteration creates every optional layer's params;

@@ -1,6 +1,7 @@
 """Fused Pallas kernels under interpret mode (runs on the CPU test platform;
 the same kernels are exercised compiled on TPU by bench.py and the trainers)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -70,10 +71,12 @@ def _vjp_check(res, batch):
         assert err_fused < 2.0 * err_bf16 + 0.02, (err_fused, err_bf16)
 
 
+@pytest.mark.slow
 def test_fused_vjp_matches_xla_interpreted():
     _vjp_check(8, 2)
 
 
+@pytest.mark.slow
 def test_fused_vjp_multitile_interpreted():
     # Multi-tile + odd batch: exercises cross-grid-step accumulator flushes
     # (dw/db/dzz blocks with constant index maps + pl.when init).

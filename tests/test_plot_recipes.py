@@ -147,6 +147,7 @@ def test_histogram_recipes():
 # ----------------------------------------------------------------- t-SNE
 
 
+@pytest.mark.slow
 def test_tsne_recipes():
     config = _config(count=3)
     create_plot.autoencoder_tsne(["classic"], config)
@@ -165,6 +166,7 @@ def test_color_test_recipe():
 # --------------------------------------------------------------- AE/VAE
 
 
+@pytest.mark.slow
 def test_autoencoder_grid_recipes():
     config = _config(count=2)
     create_plot.autoencoder_classes([], config)
@@ -184,6 +186,7 @@ def test_autoencoder_grid_recipes():
 # ------------------------------------------------------------------- GAN
 
 
+@pytest.mark.slow
 def test_gan_grid_recipes():
     config = _config(count=2)
     create_plot.gan_examples([], config)

@@ -5,6 +5,7 @@ epoch's RNG is folded from the epoch index. (The reference silently resets
 Adam/RMSprop moments and replays a different shuffle on resume —
 /root/reference/model/__init__.py:20-43, SURVEY.md §5.)"""
 
+import pytest
 import numpy as np
 import jax
 
@@ -18,6 +19,7 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_progressive_resume_reproduces_uninterrupted(tmp_path):
     from shapegan_tpu.train import hybrid_progressive_gan as prog
 
@@ -69,6 +71,7 @@ def test_autodecoder_resume_reproduces_uninterrupted(tmp_path):
     np.testing.assert_array_equal(np.asarray(codes_resumed), np.asarray(codes_full))
 
 
+@pytest.mark.slow
 def test_point_gan_resume_reproduces_uninterrupted(tmp_path):
     """Interrupt mid-curriculum, resume with the full curriculum: completed
     (stage, epoch) CSV lines fast-forward the global step counter, and the
@@ -101,6 +104,7 @@ def test_point_gan_resume_reproduces_uninterrupted(tmp_path):
     _assert_trees_equal(d_res, d_full)
 
 
+@pytest.mark.slow
 def test_epochs_is_total_across_trainers(tmp_path, monkeypatch):
     """epochs=N means "train until epoch N" in EVERY trainer (the reference's
     progressive semantics): a completed run resumed with the same N trains

@@ -1,6 +1,7 @@
 """The fused SDF-MLP: equivalence of all apply paths and parity of the
 architecture with the reference SDFNet."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ def naive_concat_apply(params, points, latents):
     return jnp.tanh(x @ params["w8"] + params["b8"])[:, 0]
 
 
+@pytest.mark.slow
 def test_apply_matches_concat_formulation():
     key = jax.random.PRNGKey(0)
     params = sdf_mlp.init(key, latent_size=16, breadth=32)

@@ -1,6 +1,7 @@
 """Multi-device sharding: mesh construction, numerical equivalence of sharded
 vs single-device training steps, and the driver's dryrun entry."""
 
+import pytest
 import importlib.util
 import os
 
@@ -36,6 +37,7 @@ def test_shard_batch_places_on_mesh():
     np.testing.assert_array_equal(np.asarray(sharded), batch)
 
 
+@pytest.mark.slow
 def test_ae_loss_and_grads_sharded_match_single_device():
     """Loss and gradients of the AE objective on a replicated 8-device mesh
     must match the single-device values (XLA-inserted psums are the only
@@ -153,6 +155,7 @@ def test_trainer_grid_path_uses_shard_map_with_matching_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4 * scale)
 
 
+@pytest.mark.slow
 def test_apply_grid_sharded_matches_unsharded():
     """shard_map-wrapped grid evaluation (the pod-scale path around the
     Pallas kernel) must match the plain evaluation; reverse-mode through it
@@ -177,6 +180,7 @@ def test_apply_grid_sharded_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3 * scale)
 
 
+@pytest.mark.slow
 def test_graft_entry_and_dryrun():
     spec = importlib.util.spec_from_file_location(
         "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")

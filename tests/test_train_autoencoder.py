@@ -1,6 +1,7 @@
 """End-to-end smoke test of the AE/VAE trainer (milestone 0 — SURVEY.md §7):
 loss decreases on synthetic shapes, checkpoints round-trip, resume works."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from shapegan_tpu.models.autoencoder import Autoencoder
 from shapegan_tpu.train import autoencoder as ae_train
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(tmp_path):
     model = Autoencoder(is_variational=False)
     state = ae_train.create_state(model, jax.random.PRNGKey(0))
@@ -29,6 +31,7 @@ def test_train_step_decreases_loss(tmp_path):
     assert final_loss < first_loss
 
 
+@pytest.mark.slow
 def test_vae_train_step_runs(tmp_path):
     model = Autoencoder(is_variational=True)
     state = ae_train.create_state(model, jax.random.PRNGKey(0))
@@ -39,6 +42,7 @@ def test_vae_train_step_runs(tmp_path):
     assert out.shape == (4, 32, 32, 32)
 
 
+@pytest.mark.slow
 def test_full_train_loop_and_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     config = TrainConfig(

@@ -1,6 +1,7 @@
 """Smoke tests for GAN / WGAN / hybrid / progressive trainers: steps run,
 losses finite, semantics (weight clipping, critic ratios, fade-in, GP) hold."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from shapegan_tpu.train import hybrid_gan
 from shapegan_tpu.train import hybrid_progressive_gan as prog
 
 
+@pytest.mark.slow
 def test_gan_train_step():
     generator, discriminator, g_state, d_state = gan_train.create_states(jax.random.PRNGKey(0))
     batch = jnp.asarray(make_voxel_dataset(4, resolution=32, seed=0))
@@ -24,6 +26,7 @@ def test_gan_train_step():
     assert 0.0 <= float(metrics["pred_real"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_wgan_critic_step_clips_weights():
     generator, critic, g_state, d_state = wgan_train.create_states(jax.random.PRNGKey(0))
     batch = jnp.asarray(make_voxel_dataset(4, resolution=32, seed=0))
@@ -40,6 +43,7 @@ def test_wgan_critic_step_clips_weights():
     assert sample.shape == (4, 32, 32, 32)
 
 
+@pytest.mark.slow
 def test_hybrid_gan_steps():
     net, discriminator, g_params, g_tx, d_state = hybrid_gan.create_states(jax.random.PRNGKey(0))
     g_opt_state = g_tx.init(g_params)
@@ -55,6 +59,7 @@ def test_hybrid_gan_steps():
     assert np.isfinite(float(metrics["pred_real"]))
 
 
+@pytest.mark.slow
 def test_progressive_steps_all_iterations():
     net, discriminator, g_params, d_params = prog.create_models(seed=0)
     g_tx = prog.optax.rmsprop(1e-4)
@@ -75,6 +80,7 @@ def test_progressive_steps_all_iterations():
         g_params, d_params = g_params2, d_params2
 
 
+@pytest.mark.slow
 def test_progressive_full_loop_and_warm_start(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     base = dict(

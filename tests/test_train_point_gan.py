@@ -1,5 +1,6 @@
 """Point GAN + refinement: step smoke tests and masked-pooling semantics."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def test_mixed_batch_masks():
     assert (np.asarray(mask[0, :8]) | ~near).all()
 
 
+@pytest.mark.slow
 def test_ref_d_and_g_steps():
     generator, discriminator, g_params, d_params, g_tx, d_tx = _setup()
     d_step, g_step = pgr.make_steps(generator, discriminator, g_tx, d_tx)
@@ -83,6 +85,7 @@ def test_ref_d_and_g_steps():
     assert np.isfinite(float(g_loss))
 
 
+@pytest.mark.slow
 def test_point_gan_full_loop(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     config = TrainConfig(
