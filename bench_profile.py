@@ -15,10 +15,16 @@ Reference workload being decomposed:
 step), :153-166 (D step).
 """
 
+import os
 import sys
 import time
 
 import jax
+
+try:  # persistent compile cache: tunnel compiles are 40-90 s each
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_bench"))
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -65,7 +65,11 @@ def load_pointcloud(config: TrainConfig):
         return points, sdf, pointcloud_size
     points = np.load(os.path.join(config.data_dir, "sdf_points.npy"))
     sdf = np.load(os.path.join(config.data_dir, "sdf_values.npy"))
-    return points.astype(np.float32), sdf.astype(np.float32), POINTCLOUD_SIZE
+    # Per-shape cloud size follows the prep config (reference
+    # SDF_POINT_CLOUD_SIZE, prepare_shapenet_dataset.py:29) — overridable for
+    # corpora prepared with smaller clouds.
+    pointcloud_size = int(config.extras.get("pointcloud_size", POINTCLOUD_SIZE))
+    return points.astype(np.float32), sdf.astype(np.float32), pointcloud_size
 
 
 def create_batches(signs: np.ndarray, batch_size: int, rng: np.random.Generator):
