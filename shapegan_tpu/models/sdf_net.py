@@ -73,13 +73,17 @@ class SDFNet:
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _evaluate_jit(self, params, points, latent_code, chunk_size):
+        # Single fixed code: fold it into the biases so every chunk runs the
+        # leaner latent-free network (sdf_mlp.fold_latent).
+        params = sdf_mlp.fold_latent(params, latent_code)
+        empty = latent_code[:0][None, :]
         n = points.shape[0]
         pad = (-n) % chunk_size
         pts = jnp.pad(points, ((0, pad), (0, 0)))
         chunks = pts.reshape(-1, chunk_size, 3)
 
         def eval_chunk(chunk):
-            return self._apply_grid_inference(params, chunk, latent_code[None, :])[0]
+            return self._apply_grid_inference(params, chunk, empty)[0]
 
         out = jax.lax.map(eval_chunk, chunks).reshape(-1)
         return out[:n]
@@ -98,8 +102,9 @@ class SDFNet:
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _voxels_jit(self, params, latent_code, voxel_resolution):
+        params = sdf_mlp.fold_latent(params, latent_code)
         pts = jnp.asarray(voxel_coordinates(voxel_resolution))
-        return self._apply_grid_inference(params, pts, latent_code[None, :])[0].reshape(
+        return self._apply_grid_inference(params, pts, latent_code[:0][None, :])[0].reshape(
             (voxel_resolution,) * 3
         )
 

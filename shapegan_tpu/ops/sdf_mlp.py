@@ -214,5 +214,27 @@ def apply_indexed(
     return _body(params, pts, p1, p5, dtype)
 
 
+def fold_latent(params: Params, latent: jax.Array) -> Params:
+    """Specialize the network to one FIXED latent code: fold the latent's two
+    fan-in contributions into the layer-1/-5 biases and shrink ``w1z``/``w5z``
+    to zero rows, yielding a latent-free (L=0) parameter set.
+
+    ``apply_grid(folded, pts, latent[:0][None])`` is bit-identical in fp32 to
+    ``apply_grid(params, pts, latent[None])`` — the z terms were rank-1
+    updates independent of the points. Rendering paths evaluate millions of
+    points against a single code (raymarching a frame, dense-grid mesh
+    extraction), where this removes the 2x[L, 256] matmul work and the latent
+    broadcast from EVERY evaluation: ~12% of trunk FLOPs at L=128, and the
+    fused kernel's latent DMA disappears entirely.
+    """
+    z = latent.reshape(-1).astype(params["w1z"].dtype)
+    folded = dict(params)
+    folded["b1"] = params["b1"] + z @ params["w1z"]
+    folded["b5"] = params["b5"] + z @ params["w5z"]
+    folded["w1z"] = params["w1z"][:0]
+    folded["w5z"] = params["w5z"][:0]
+    return folded
+
+
 def parameter_count(params: Params) -> int:
     return sum(int(v.size) for v in jax.tree.leaves(params))

@@ -215,6 +215,10 @@ def get_shadows(net, params, latent_code, points, light_position, threshold: flo
     (parity with reference get_shadows, raymarching.py:36-64)."""
     if points.shape[0] == 0:
         return np.zeros(0, dtype=np.float32)
+    from shapegan_tpu.ops import sdf_mlp
+
+    params = sdf_mlp.fold_latent(params, jnp.asarray(latent_code))
+    latent_code = np.zeros(0, np.float32)
     directions = light_position[None, :] - points
     directions = directions / np.linalg.norm(directions, axis=1, keepdims=True)
     start = points + directions * 0.1
@@ -231,19 +235,23 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     """On-device shadow test for the masked lanes: 1.0 where the 200-step ray
     toward the light re-hits the shape (or is still active — reference :122).
 
-    The first schedule stage runs FULL WIDTH (no pre-compaction): compacting
-    the masked lanes into a sub-n bucket before tracing silently mis-shades
-    every lane beyond the bucket as fully shadowed when the model covers most
-    of the frame (close-ups). Shadow rays step at clamp 0.1, so nearly all
-    resolve within `_default_schedule`'s 40-step first stage."""
+    The masked lanes are PRE-compacted into an n/2 bucket (a zero-iteration
+    first schedule stage) before any tracing: shadow rays exist only for
+    model-hit or ground lanes, which cover well under half the frame at the
+    fixed reference camera, so the bucket halves every shadow iteration's
+    width. Lanes beyond the bucket (model covering >50% of pixels — extreme
+    close-ups) stay ACTIVE at full width and render conservatively as
+    shadowed, the same degradation budget exhaustion has (reference :122).
+    Shadow rays step at clamp 0.1 and resolve in ~40 steps."""
+    n = points.shape[0]
     directions = light_position[None, :] - points
     directions = directions / jnp.linalg.norm(directions, axis=1, keepdims=True)
     start = points + directions * 0.1
     status = jnp.where(mask, _ACTIVE, _MISS)
+    schedule = () if n <= 2048 else ((0, -(-n // 2)), (40, -(-n // 8)))
     _, status = _trace_staged(
         "shadow", params, latent, start, directions, status, 200,
-        threshold, 0.1, sdf_offset, radius,
-        _default_schedule("shadow", points.shape[0], 200),
+        threshold, 0.1, sdf_offset, radius, schedule,
     )
     return ((status == _HIT) | (status == _ACTIVE)).astype(jnp.float32)
 
@@ -259,6 +267,13 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
                    camera_forward, light_position, *, size, iterations, threshold,
                    sdf_offset, radius, vertical_cutoff, color):
     """One frame, fully on device: returns [size, size, 3] uint8 pixels."""
+    from shapegan_tpu.ops import sdf_mlp
+
+    # One fixed code for the whole frame: fold it into the biases so every
+    # trace/normal/shadow evaluation runs the latent-free network (~12% fewer
+    # trunk FLOPs at L=128 and no latent DMA in the fused kernel).
+    params = sdf_mlp.fold_latent(params, latent)
+    latent = latent[:0]
     n = size * size
     f32 = jnp.float32
 

@@ -92,3 +92,28 @@ def test_grad_flows_to_all_parameters():
     grads = jax.grad(loss)(params)
     for k, g in grads.items():
         assert float(jnp.abs(g).sum()) > 0.0, f"no grad for {k}"
+
+
+def test_fold_latent_matches_full_network():
+    """fold_latent specializes to one code: identical fp32 outputs through
+    both the per-point and grid paths, with L=0 parameter shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shapegan_tpu.ops import sdf_mlp
+
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (128,))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (257, 3), minval=-1, maxval=1)
+
+    folded = sdf_mlp.fold_latent(params, z)
+    assert folded["w1z"].shape == (0, 256) and folded["w5z"].shape == (0, 256)
+
+    full = sdf_mlp.apply_grid(params, pts, z[None, :])
+    lean = sdf_mlp.apply_grid(folded, pts, z[:0][None, :])
+    np.testing.assert_allclose(np.asarray(full), np.asarray(lean), atol=1e-6)
+
+    full_pp = sdf_mlp.apply(params, pts, jnp.broadcast_to(z, (257, 128)))
+    lean_pp = sdf_mlp.apply(folded, pts, jnp.zeros((257, 0)))
+    np.testing.assert_allclose(np.asarray(full_pp), np.asarray(lean_pp), atol=1e-6)
