@@ -99,3 +99,34 @@ def test_demo_training_short(tmp_path, monkeypatch):
 
     importlib.reload(demo_training)
     demo_training.main()
+
+
+def test_demo_sdf_net_mesh_mode_renders_frames(tmp_path, monkeypatch):
+    """mode=mesh: grid eval -> marching tetrahedra -> software-rasterized
+    frame, end-to-end from a fabricated checkpoint (the reference demo's
+    MC+GL animation pipeline, demo_sdf_net.py:13-14, without a display)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["demo_sdf_net.py", "mode=mesh", "samples=2", "frames_per_transition=1",
+         "resolution=96", "voxel_resolution=24"],
+    )
+    import demo_sdf_net
+    from shapegan_tpu import checkpoints
+    from shapegan_tpu.models import LATENT_CODES_FILENAME
+    from shapegan_tpu.models.sdf_net import SDFNet
+
+    net = SDFNet()
+    params = net.init(jax.random.PRNGKey(0))
+    checkpoints.save(params, "sdf_net", base="models")
+    codes = np.random.default_rng(0).normal(0, 0.01, (4, 128)).astype(np.float32)
+    checkpoints.save_array(codes, LATENT_CODES_FILENAME, base="models")
+
+    demo_sdf_net.main()
+    frames = sorted(os.listdir("screenshots/sdf_net_animation"))
+    assert len(frames) == 2
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join("screenshots/sdf_net_animation", frames[0])))
+    assert img.shape == (96, 96, 3)
