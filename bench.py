@@ -44,8 +44,14 @@ configs 4/5a. See each bench function's docstring for its vs_baseline
 definition.
 
 Timing methodology (see memory/axon notes): kernels and train steps are
-timed as K invocations inside one jitted lax.scan reduced to a scalar —
-device-side throughput, free of host dispatch/tunnel latency. The raymarch
+timed as K invocations inside one jitted lax.scan reduced to a scalar, and
+the per-step time is the MARGINAL cost between a short and a 4x-long scan —
+(t_long - t_short) / (3K). The remote-TPU link imposes a ~30 ms fixed cost
+per dispatch (measured: a 2048^3-matmul scan's total wall time is ~33 ms at
+10 reps and ~59 ms at 300), so a single-length measurement overstates small
+per-step times by floor/K; differencing two lengths cancels the floor
+exactly. Results must be pulled as VALUES (np.asarray) — on this link
+jax.block_until_ready returns before the computation finishes. The raymarch
 frame is host wall-clock of the second (steady-state) frame: the frame IS
 one dispatch, so wall-clock is the honest end-to-end figure.
 
@@ -89,11 +95,22 @@ def make_scan_runner(inner, grid):
     return run
 
 
-def time_runner(run, *args, iters):
-    float(np.asarray(run(*args)).ravel()[0])  # compile + run; pull forces completion
+def _pull(x):
+    return float(np.asarray(x).ravel()[0])  # value fetch forces completion
+
+
+def time_runner(run, lats, iters):
+    """Marginal seconds/iteration between scans over ``lats`` and a 4x tile
+    of it (cancels the fixed per-dispatch link cost)."""
+    lats_long = jnp.concatenate([lats] * 4, axis=0)
+    _pull(run(lats))
+    _pull(run(lats_long))  # compile + warm both lengths
     t0 = time.perf_counter()
-    float(np.asarray(run(*args)).ravel()[0])
-    return (time.perf_counter() - t0) / iters
+    _pull(run(lats))
+    t1 = time.perf_counter()
+    _pull(run(lats_long))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (3 * iters)
 
 
 def bench_sdf_mlp():
@@ -118,8 +135,8 @@ def bench_sdf_mlp():
         pts_rep = jnp.tile(g, (l.shape[0], 1))
         return sdf_mlp.apply(params, pts_rep, lat_rep, dtype=jnp.float32)
 
-    t_fused = time_runner(make_scan_runner(fused, grid), lats, iters=SCAN_ITERS)
-    t_reference = time_runner(make_scan_runner(reference_algorithm, grid), lats, iters=SCAN_ITERS)
+    t_fused = time_runner(make_scan_runner(fused, grid), lats, SCAN_ITERS)
+    t_reference = time_runner(make_scan_runner(reference_algorithm, grid), lats, SCAN_ITERS)
 
     return {
         "metric": "sdf_mlp_points_per_sec_per_chip",
@@ -168,7 +185,7 @@ def bench_gan_steps():
             )
 
         @jax.jit
-        def run(g_params, d_params, real):
+        def run(g_params, d_params, real, steps):
             g_opt = g_tx.init(g_params)
             d_opt = d_tx.init(d_params)
 
@@ -190,12 +207,22 @@ def bench_gan_steps():
                 )
                 return (g_params, g_opt, d_params, d_opt), None
 
-            carry, _ = jax.lax.scan(
-                body, (g_params, g_opt, d_params, d_opt), jnp.arange(GAN_STEPS)
-            )
+            carry, _ = jax.lax.scan(body, (g_params, g_opt, d_params, d_opt), steps)
             return jax.tree.leaves(carry)[0].ravel()[:1]
 
         return run
+
+    def time_step_runner(run, *args):
+        short = jnp.arange(GAN_STEPS)
+        long = jnp.arange(4 * GAN_STEPS)
+        _pull(run(*args, short))
+        _pull(run(*args, long))
+        t0 = time.perf_counter()
+        _pull(run(*args, short))
+        t1 = time.perf_counter()
+        _pull(run(*args, long))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (3 * GAN_STEPS)
 
     ours = make_runner(
         lambda p, z: generate_volumes(net, p, grid, z, res),
@@ -210,8 +237,8 @@ def bench_gan_steps():
 
     baseline = make_runner(ref_volumes, ref_volumes)
 
-    t_ours = time_runner(ours, g_params0, d_params0, data, iters=GAN_STEPS)
-    t_base = time_runner(baseline, g_params0, d_params0, data, iters=GAN_STEPS)
+    t_ours = time_step_runner(ours, g_params0, d_params0, data)
+    t_base = time_step_runner(baseline, g_params0, d_params0, data)
 
     return {
         "metric": "progressive_wgan_gp_steps_per_sec",
@@ -222,22 +249,29 @@ def bench_gan_steps():
 
 
 def _timed_state_scan(step, init_state, n_steps):
-    """Mean seconds/step of a state-carrying training step inside one jitted
-    scan (states evolve through the carry, so iterations are genuinely
-    serialized — no loop-invariant hoisting is possible)."""
+    """Marginal seconds/step of a state-carrying training step: the
+    difference between a 4x-long and a short jitted scan divided by the step
+    delta (cancels the fixed per-dispatch link cost; states evolve through
+    the carry, so iterations are genuinely serialized)."""
 
     @jax.jit
-    def run(state):
+    def run(state, steps):
         def body(carry, i):
             return step(carry, i), None
 
-        final, _ = jax.lax.scan(body, state, jnp.arange(n_steps))
+        final, _ = jax.lax.scan(body, state, steps)
         return jax.tree.leaves(final)[0].ravel()[:1]
 
-    float(np.asarray(run(init_state)).ravel()[0])  # compile + run
+    short = jnp.arange(n_steps)
+    long = jnp.arange(4 * n_steps)
+    _pull(run(init_state, short))
+    _pull(run(init_state, long))  # compile + warm both lengths
     t0 = time.perf_counter()
-    float(np.asarray(run(init_state)).ravel()[0])
-    return (time.perf_counter() - t0) / n_steps
+    _pull(run(init_state, short))
+    t1 = time.perf_counter()
+    _pull(run(init_state, long))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (3 * n_steps)
 
 
 def bench_voxel_gan():

@@ -47,30 +47,44 @@ def parse_args(argv):
 
 
 def timed_scan(fn, reps, *args):
-    """Device-side mean seconds per invocation of ``fn(*args, fold_key)``.
+    """Marginal seconds per invocation of ``fn(*args, fold_key)`` between a
+    short and a 4x-long jitted scan.
 
-    The carry is threaded back into the first argument's first leaf (scaled
-    to denormal range) so every iteration depends on the previous one —
-    without this, XLA's loop-invariant code motion can hoist the whole body
-    out of the scan and the measurement times nothing."""
+    Differencing cancels the remote link's ~30 ms fixed per-dispatch cost
+    (which otherwise drowns sub-ms stages at small rep counts). The first
+    argument's first leaf is gated through a data-dependent ``where`` on the
+    carry so every iteration's input is opaque to XLA — neither
+    loop-invariant hoisting nor linearity-based distribution (conv(a + eps)
+    = conv(a) + conv(eps)) can remove the measured work. Results are pulled
+    as VALUES: on this link jax.block_until_ready returns early."""
 
-    @jax.jit
-    def run(args):
-        def body(carry, step):
-            first, rest = args[0], args[1:]
-            leaves, treedef = jax.tree.flatten(first)
-            leaves[0] = leaves[0] + (carry * 1e-38).astype(leaves[0].dtype)
-            out = fn(jax.tree.unflatten(treedef, leaves), *rest,
-                     jax.random.fold_in(jax.random.PRNGKey(11), step))
-            return carry + out.astype(jnp.float32), None
+    def make(n):
+        @jax.jit
+        def run(args):
+            def body(carry, step):
+                first, rest = args[0], args[1:]
+                leaves, treedef = jax.tree.flatten(first)
+                leaves[0] = jnp.where(
+                    carry > -1.0, leaves[0], jnp.zeros_like(leaves[0])
+                )
+                out = fn(jax.tree.unflatten(treedef, leaves), *rest,
+                         jax.random.fold_in(jax.random.PRNGKey(11), step))
+                return carry + out.astype(jnp.float32), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
-        return total
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return total
 
-    float(np.asarray(jax.block_until_ready(run(args))))  # compile
+        return run
+
+    short, long = make(reps), make(4 * reps)
+    float(np.asarray(short(args)))
+    float(np.asarray(long(args)))  # compile + warm
     t0 = time.perf_counter()
-    float(np.asarray(jax.block_until_ready(run(args))))
-    return (time.perf_counter() - t0) / reps
+    float(np.asarray(short(args)))
+    t1 = time.perf_counter()
+    float(np.asarray(long(args)))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (3 * reps)
 
 
 def main():
