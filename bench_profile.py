@@ -9,6 +9,7 @@ optimizer update. Each stage is timed device-side as K invocations inside a
 jitted lax.scan (tunnel-latency-free; same methodology as bench.py).
 
 Usage: python bench_profile.py [iteration=N] [batch=N] [reps=N]
+       python bench_profile.py raymarch=1 [resolution=N]   # live-lane decay
 
 Reference workload being decomposed:
 /root/reference/train_hybrid_progressive_gan.py:102-111 (GP), :135-149 (G
@@ -37,7 +38,7 @@ from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inf
 
 
 def parse_args(argv):
-    opts = {"iteration": 2, "batch": 16, "reps": 20}
+    opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400}
     for arg in argv:
         if "=" in arg:
             k, v = arg.split("=", 1)
@@ -51,8 +52,8 @@ def timed_scan(fn, reps, *args):
     short and a 4x-long jitted scan.
 
     Differencing cancels the remote link's ~30 ms fixed per-dispatch cost
-    (which otherwise drowns sub-ms stages at small rep counts). The first
-    argument's first leaf is gated through a data-dependent ``where`` on the
+    (which otherwise drowns sub-ms stages at small rep counts). Every leaf
+    of the first argument is gated through a data-dependent ``where`` on the
     carry so every iteration's input is opaque to XLA — neither
     loop-invariant hoisting nor linearity-based distribution (conv(a + eps)
     = conv(a) + conv(eps)) can remove the measured work. Results are pulled
@@ -63,11 +64,13 @@ def timed_scan(fn, reps, *args):
         def run(args):
             def body(carry, step):
                 first, rest = args[0], args[1:]
-                leaves, treedef = jax.tree.flatten(first)
-                leaves[0] = jnp.where(
-                    carry > -1.0, leaves[0], jnp.zeros_like(leaves[0])
+                # Gate EVERY leaf: gating only one leaf leaves the subgraphs
+                # that precede that leaf's layer loop-invariant, and XLA
+                # hoists them (observed: critic stages measuring ~0 ms).
+                gated = jax.tree.map(
+                    lambda l: jnp.where(carry > -1.0, l, jnp.zeros_like(l)), first
                 )
-                out = fn(jax.tree.unflatten(treedef, leaves), *rest,
+                out = fn(gated, *rest,
                          jax.random.fold_in(jax.random.PRNGKey(11), step))
                 return carry + out.astype(jnp.float32), None
 
@@ -209,5 +212,72 @@ def main():
           f"-> {1.0 / per_batch:.1f} steps/s")
 
 
+def _dispatch():
+    opts = parse_args(sys.argv[1:])
+    if opts["raymarch"]:
+        raymarch_decay(resolution=opts["resolution"])
+    else:
+        main()
+
+
+def raymarch_decay(resolution=400, iterations=500):
+    """Primary-trace live-lane decay on the overfit chair: active-lane count
+    after every iteration, full width (no compaction). The fractions drive
+    `_default_schedule`'s bucket sizes in render/raymarching.py — a bucket
+    must hold every surviving ACTIVE lane or stragglers degrade to hits."""
+    import bench
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.render.raymarching import CAMERA_POSITION
+
+    net, params, code = bench._overfit_chair()
+    params = sdf_mlp.fold_latent(params, jnp.asarray(code))
+    latent = jnp.zeros(0, jnp.float32)
+
+    cam = np.asarray(CAMERA_POSITION, np.float32)
+    fwd = -cam / np.linalg.norm(cam)
+    right = np.cross(fwd, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
+    up = np.cross(fwd, right); up /= np.linalg.norm(up)
+    lin = np.linspace(-1, 1, resolution, dtype=np.float32)
+    u, v = np.meshgrid(lin, lin)
+    uv = np.stack([u.ravel(), v.ravel()], axis=1)
+    focal = 1.0 / np.tan(np.arcsin(1.0 / np.linalg.norm(cam)))
+    dirs = (uv[:, :1] * right + uv[:, 1:2] * up + focal * fwd).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = np.tile(cam, (uv.shape[0], 1)).astype(np.float32)
+    b = 2 * np.einsum("ij,ij->i", pts, dirs)
+    disc = b * b - 4 * (float(np.dot(cam, cam)) - 1.0)
+    entered = disc >= 0
+    t_entry = np.where(entered, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+    pts = pts + dirs * t_entry[:, None]
+
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
+
+    @jax.jit
+    def run(points, directions, status0):
+        def body(carry, _):
+            points, status = carry
+            active = status == 0
+            sdf = jnp.clip(apply_grid_best(params, points, latent[None, :])[0], -0.02, 0.02)
+            points = points + directions * jnp.where(active, sdf, 0.0)[:, None]
+            hits = active & (sdf > 0) & (sdf < 0.0005)
+            misses = active & (jnp.linalg.norm(points, axis=1) > 1.0)
+            status = jnp.where(hits, 1, jnp.where(misses, 2, status))
+            return (points, status), jnp.sum(status == 0)
+
+        (_, status), counts = jax.lax.scan(body, (points, status0), None, length=iterations)
+        return counts
+
+    status0 = jnp.where(jnp.asarray(entered), 0, 2).astype(jnp.int32)
+    counts = np.asarray(run(jnp.asarray(pts), jnp.asarray(dirs), status0))
+    n = resolution * resolution
+    print(f"# primary-trace active-lane decay, {resolution}^2 rays (n={n})")
+    print(f"iter 0: {float(np.sum(entered))/n:.3f} entered")
+    for it in (10, 20, 30, 40, 60, 80, 100, 150, 200, 300, 400, 500):
+        if it <= iterations:
+            print(f"iter {it:4d}: {counts[it-1]/n:.4f} active")
+    tail = int(np.argmax(counts == 0)) if (counts == 0).any() else iterations
+    print(f"all-resolved at iter {tail}")
+
+
 if __name__ == "__main__":
-    main()
+    _dispatch()
