@@ -23,11 +23,17 @@ crosses the host link. Within a trace:
     stragglers keep their ACTIVE status, which — like budget exhaustion in
     the reference :122 — renders as a hit at the current point);
   * a `lax.while_loop` with an any-active early-exit predicate runs the
-    long tail, and results scatter back through the index maps.
+    long tail, capped at TAIL_ITERS once the schedule establishes the
+    oscillator plateau (see the constants note below);
+  * the frame's single latent code is folded into the MLP biases up front
+    (ops/sdf_mlp.fold_latent), so every evaluation runs the latent-free
+    network.
 
 Measured at the reference settings (800², ssaa 2, ≤1000 iterations, shadow
-rays + ground shadows): 33.5 s/frame with round 1's host-compaction loop →
-single-dispatch pipeline (this file) through the same remote TPU link.
+rays + ground shadows) through the same remote TPU link: 33.5 s/frame with
+round 1's host-compaction loop → 7.5 s with round 2's single-dispatch
+pipeline → round 3 adds the decay-tuned compaction schedule, the oscillator
+tail cap, shadow-ray pre-compaction, and the latent fold (this file).
 """
 
 from __future__ import annotations
@@ -44,10 +50,19 @@ import numpy as np
 from shapegan_tpu.render.camera import camera_position_from_transform, get_camera_transform
 from shapegan_tpu.util import ensure_directory
 
-# Masked full-width iterations before the first/second on-device compaction.
-# 100 ≈ the step budget to cross the unit sphere at the ±0.02 step clamp, so
-# by the first compaction nearly all non-grazing rays have hit or exited.
-STAGE_ITERS = 100
+# Compaction schedule constants, tuned against the measured live-lane decay
+# of the primary trace (bench_profile.py raymarch=1, chair @400²):
+# entered 78%; active 54% @40 iters, 21% @80, 13.6% @100, then a hard
+# plateau at ~13.2% — surface OSCILLATORS: lanes stepping across the
+# zero-crossing whose sdf never lands in the strict hit window
+# (0 < sdf < threshold). Their positions converge within ~50 further
+# iterations; between iters 200 and 500 only ~0.02% of lanes resolve. The
+# reference burns its full 1000-iteration budget on them
+# (raymarching.py:122 counts exhaustion as a hit); we cap the post-schedule
+# tail at TAIL_ITERS instead — same classification, positions converged,
+# ~1.7x fewer primary evaluations per frame.
+STAGE_ITERS = 100  # legacy first-stage budget (kept for small-n traces)
+TAIL_ITERS = 120
 
 
 def get_default_coordinates():
@@ -63,11 +78,13 @@ _ACTIVE, _HIT, _MISS = 0, 1, 2
 
 
 def _trace_staged(kind, params, latent, points, directions, status, budget,
-                  threshold, step_clamp, sdf_offset, radius, schedule):
+                  threshold, step_clamp, sdf_offset, radius, schedule,
+                  tail_cap=None):
     """Trace rays to completion on device. ``schedule`` is a static tuple of
     (iterations, bucket_size): after each stage's masked iterations the
     surviving ACTIVE lanes are compacted into a ``bucket_size`` bucket; the
-    final stage is an early-exit while_loop. Returns (points, status).
+    final stage is an early-exit while_loop, bounded by ``tail_cap`` when
+    given (the oscillator cap — see TAIL_ITERS). Returns (points, status).
 
     kind: 'primary' rays terminate (miss) outside the bounding sphere;
     'shadow' rays terminate above y=radius."""
@@ -105,6 +122,8 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     if budget <= 0:
         return points, status
     if not schedule:
+        if tail_cap is not None:
+            budget = min(budget, tail_cap)
         return run_while(budget, points, directions, status)
 
     (k, size), rest = schedule[0], schedule[1:]
@@ -118,7 +137,8 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     size = max(512, min(size, n))
     if size >= n:
         return _trace_staged(kind, params, latent, points, directions, status,
-                             budget, threshold, step_clamp, sdf_offset, radius, rest)
+                             budget, threshold, step_clamp, sdf_offset, radius, rest,
+                             tail_cap)
 
     # Compact ACTIVE lanes into the static bucket. Overflow lanes (rare
     # grazers beyond `size`) keep riding as ACTIVE in the source arrays and
@@ -129,7 +149,8 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     status_c = jnp.where(idx < n, _ACTIVE, _MISS)
 
     pts_c, status_c = _trace_staged(kind, params, latent, pts_c, dirs_c, status_c,
-                                    budget, threshold, step_clamp, sdf_offset, radius, rest)
+                                    budget, threshold, step_clamp, sdf_offset, radius, rest,
+                                    tail_cap)
 
     # Fill lanes carry idx == n and are dropped by the scatter.
     return (
@@ -139,13 +160,24 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
 
 
 def _default_schedule(kind, n, iterations):
+    """Compaction schedule sized against the measured live-lane decay (see
+    the TAIL_ITERS note): bucket sizes carry 1.4-2.4x headroom over the
+    chair's measured active fractions so shape variation doesn't overflow
+    (overflow degrades conservatively to hit-at-current-point)."""
     if n <= 2048 or iterations <= STAGE_ITERS:
         return ()
     if kind == "shadow":
         # Shadow rays re-hit within a few steps or escape at the 0.1 clamp
         # in ~20-40 steps; compact early.
         return ((40, -(-n // 4)),)
-    return ((STAGE_ITERS, -(-n // 2)), (STAGE_ITERS, -(-n // 8)), (200, -(-n // 32)))
+    # Primary: 54% active @40 -> 3/4 bucket; 21% @80 -> 1/2; 13.6% @100 ->
+    # 1/4; oscillator plateau 13.2% -> 1/5 for the long stage + capped tail.
+    return (
+        (40, -(-n * 3 // 4)),
+        (40, -(-n // 2)),
+        (20, -(-n // 4)),
+        (100, -(-n // 5)),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
@@ -153,10 +185,11 @@ def _trace_rays(kind, params, latent, points, directions, iterations, threshold,
                 step_clamp, sdf_offset, radius):
     """Standalone single-dispatch trace over explicit rays (all start ACTIVE)."""
     status = jnp.zeros(points.shape[0], dtype=jnp.int32)
+    schedule = _default_schedule(kind, points.shape[0], iterations)
     return _trace_staged(
         kind, params, latent, points, directions, status, iterations,
-        threshold, step_clamp, sdf_offset, radius,
-        _default_schedule(kind, points.shape[0], iterations),
+        threshold, step_clamp, sdf_offset, radius, schedule,
+        tail_cap=TAIL_ITERS if schedule else None,
     )
 
 
@@ -252,6 +285,7 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     _, status = _trace_staged(
         "shadow", params, latent, start, directions, status, 200,
         threshold, 0.1, sdf_offset, radius, schedule,
+        tail_cap=TAIL_ITERS if schedule else None,
     )
     return ((status == _HIT) | (status == _ACTIVE)).astype(jnp.float32)
 
@@ -301,10 +335,11 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
 
     # Primary trace: non-entered lanes start as misses.
     status = jnp.where(entered, _ACTIVE, _MISS)
+    primary_schedule = _default_schedule("primary", n, iterations)
     points, status = _trace_staged(
         "primary", params, latent, points, ray_directions, status, iterations,
-        threshold, 0.02, sdf_offset, radius,
-        _default_schedule("primary", n, iterations),
+        threshold, 0.02, sdf_offset, radius, primary_schedule,
+        tail_cap=TAIL_ITERS if primary_schedule else None,
     )
     model_mask = (status == _HIT) | (status == _ACTIVE)
     if vertical_cutoff is not None:
