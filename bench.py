@@ -73,7 +73,7 @@ from shapegan_tpu.ops.coords import voxel_coordinates
 BATCH = 16
 RESOLUTION = 64
 SCAN_ITERS = 10
-GAN_STEPS = 10
+GAN_STEPS = 25  # short-scan length; the marginal window is 3x this
 
 # Persistent compilation cache: the raymarch pipeline compiles ~40 s through
 # the remote-compile link; cache so repeated bench runs skip it.
@@ -208,7 +208,9 @@ def bench_gan_steps():
                 return (g_params, g_opt, d_params, d_opt), None
 
             carry, _ = jax.lax.scan(body, (g_params, g_opt, d_params, d_opt), steps)
-            return jax.tree.leaves(carry)[0].ravel()[:1]
+            return sum(
+                l.ravel()[0].astype(jnp.float32) for l in jax.tree.leaves(carry)
+            )[None]
 
         return run
 
@@ -260,7 +262,13 @@ def _timed_state_scan(step, init_state, n_steps):
             return step(carry, i), None
 
         final, _ = jax.lax.scan(body, state, steps)
-        return jax.tree.leaves(final)[0].ravel()[:1]
+        # Depend on EVERY leaf of the final state: flax TrainState's first
+        # leaf is the scalar step counter, and returning only it lets XLA
+        # dead-code-eliminate the whole params/optimizer chain across all
+        # iterations (observed: 446k "steps/s").
+        return sum(
+            l.ravel()[0].astype(jnp.float32) for l in jax.tree.leaves(final)
+        )[None]
 
     short = jnp.arange(n_steps)
     long = jnp.arange(4 * n_steps)

@@ -200,17 +200,30 @@ def apply_indexed(
 ) -> jax.Array:
     """Evaluate points [N, 3] whose latent is ``latent_table[shape_indices]``.
 
-    Autodecoder path (/root/reference/train_sdf_autodecoder.py:78-87): rather
-    than gathering [N, L] latent rows and re-projecting each, project the
-    whole (small) table once to [M, breadth] and gather the projections —
-    a cheaper gather and no per-point latent GEMM.
+    Autodecoder path (/root/reference/train_sdf_autodecoder.py:78-87):
+    gather the [N, L] latent rows, then run the split fan-in matmuls.
+
+    Formulation note (measured, round 3): projecting the whole table to
+    [M, breadth] once and gathering the projections looks cheaper on paper
+    (no per-point latent GEMM), but under ``jax.grad`` its latent-table
+    cotangent is a scatter-add of [N, breadth] rows — and TPU scatters cost
+    far more than the [N, L] scatter plus two MXU GEMMs of this
+    formulation. The gather-then-matmul step measured ~1.27x faster
+    end-to-end at the reference batch (20k points); bench.py's
+    ``autodecoder_steps_per_sec`` baseline is exactly this trade.
     """
     pts = points.astype(dtype)
-    table = latent_table.astype(dtype)
-    zz1 = jnp.dot(table, params["w1z"].astype(dtype), preferred_element_type=dtype) + params["b1"].astype(dtype)
-    zz5 = jnp.dot(table, params["w5z"].astype(dtype), preferred_element_type=dtype) + params["b5"].astype(dtype)
-    p1 = jnp.dot(pts, params["w1p"].astype(dtype), preferred_element_type=dtype) + zz1[shape_indices]
-    p5 = jnp.dot(pts, params["w5p"].astype(dtype), preferred_element_type=dtype) + zz5[shape_indices]
+    z = latent_table.astype(dtype)[shape_indices]
+    p1 = (
+        jnp.dot(pts, params["w1p"].astype(dtype), preferred_element_type=dtype)
+        + jnp.dot(z, params["w1z"].astype(dtype), preferred_element_type=dtype)
+        + params["b1"].astype(dtype)
+    )
+    p5 = (
+        jnp.dot(pts, params["w5p"].astype(dtype), preferred_element_type=dtype)
+        + jnp.dot(z, params["w5z"].astype(dtype), preferred_element_type=dtype)
+        + params["b5"].astype(dtype)
+    )
     return _body(params, pts, p1, p5, dtype)
 
 

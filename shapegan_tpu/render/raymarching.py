@@ -351,10 +351,31 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     normal = _points_gradient(params, points, latent)
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=1, keepdims=True), 1e-12)
 
-    seen_by_light = 1.0 - _shadow_factor(
-        params, latent, points, model_mask, light_position,
+    # Ground-plane intersection points (reference :156-167), computed up
+    # front so model-surface and ground shadow rays run as ONE combined
+    # trace: the two lane sets are disjoint per pixel, so merging halves the
+    # shadow passes' width-proportional cost. (The reference's get_shadows
+    # uses the unit bounding sphere for both; `radius` here is 1.0 in every
+    # caller.)
+    ground_plane = jnp.min(jnp.where(model_mask, points[:, 1], jnp.inf))
+    ground = (ray_directions[:, 1] < 0) & ~model_mask & any_hit
+    t = (points[:, 1] - ground_plane) / jnp.where(
+        ray_directions[:, 1] < 0, ray_directions[:, 1], -1.0
+    )
+    g_pts = points - ray_directions * t[:, None]
+    near = jnp.sqrt(g_pts[:, 0] ** 2 + g_pts[:, 2] ** 2) < 3
+    ground &= near
+
+    shadow_mask = model_mask | ground
+    shadow_points = jnp.where(
+        model_mask[:, None], points,
+        jnp.where(ground[:, None], g_pts, 2.0 + radius),
+    )
+    shadow = _shadow_factor(
+        params, latent, shadow_points, shadow_mask, light_position,
         0.001, sdf_offset, radius,
     )
+    seen_by_light = 1.0 - shadow
 
     light_direction = light_position[None, :] - points
     light_direction = light_direction / jnp.linalg.norm(light_direction, axis=1, keepdims=True)
@@ -373,21 +394,7 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     shaded = jnp.asarray(color, f32)[None, :] * (diffuse * 0.5 + 0.5)[:, None]
     shaded = shaded + (specular * 0.3 + rim)[:, None]
     pixels = jnp.where(model_mask[:, None], jnp.clip(shaded, 0, 1), 1.0)
-
-    # Ground-plane shadow pass (reference :156-167).
-    ground_plane = jnp.min(jnp.where(model_mask, points[:, 1], jnp.inf))
-    ground = (ray_directions[:, 1] < 0) & ~model_mask & any_hit
-    t = (points[:, 1] - ground_plane) / jnp.where(
-        ray_directions[:, 1] < 0, ray_directions[:, 1], -1.0
-    )
-    g_pts = points - ray_directions * t[:, None]
-    near = jnp.sqrt(g_pts[:, 0] ** 2 + g_pts[:, 2] ** 2) < 3
-    ground &= near
-    ground_shadow = _shadow_factor(
-        params, latent, jnp.where(ground[:, None], g_pts, 2.0 + radius), ground,
-        light_position, 0.001, sdf_offset, 1.0,
-    )
-    pixels = pixels - jnp.where(ground, (1.0 - 0.65) * ground_shadow, 0.0)[:, None]
+    pixels = pixels - jnp.where(ground, (1.0 - 0.65) * shadow, 0.0)[:, None]
 
     pixels = jnp.clip(pixels, 0.0, 1.0).reshape(size, size, 3)
     return jnp.round(pixels * 255.0).astype(jnp.uint8)
