@@ -72,8 +72,8 @@ from shapegan_tpu.ops.coords import voxel_coordinates
 
 BATCH = 16
 RESOLUTION = 64
-SCAN_ITERS = 10
-GAN_STEPS = 25  # short-scan length; the marginal window is 3x this
+SCAN_ITERS = 20  # short-scan length; the marginal window is 3x this
+GAN_STEPS = 25
 
 # Persistent compilation cache: the raymarch pipeline compiles ~40 s through
 # the remote-compile link; cache so repeated bench runs skip it.
