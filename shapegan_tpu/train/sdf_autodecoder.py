@@ -158,8 +158,8 @@ def make_sharded_epoch(net: SDFNet, net_tx, code_tx, pointcloud_size: int, mesh,
             batch_sdf = sdf[indices]
 
             def loss_fn(p, codes):
-                output = net.apply_indexed(p, batch_points, codes, shape_indices)
                 batch_codes = codes[shape_indices]
+                output = net.apply(p, batch_points, batch_codes)
                 return jnp.mean(jnp.abs(output - batch_sdf)) + SIGMA * jnp.mean(
                     batch_codes**2
                 )
@@ -222,8 +222,10 @@ def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
         batch_sdf = sdf[indices]
 
         def loss_fn(params, codes):
-            output = net.apply_indexed(params, batch_points, codes, shape_indices)
+            # One gather serves both the MLP and the regularizer (reference
+            # :78-87 semantics; apply_indexed would re-gather internally).
             batch_codes = codes[shape_indices]
+            output = net.apply(params, batch_points, batch_codes)
             return jnp.mean(jnp.abs(output - batch_sdf)) + SIGMA * jnp.mean(batch_codes**2)
 
         loss, (net_grads, code_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
