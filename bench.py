@@ -354,7 +354,8 @@ def bench_autodecoder():
     both Adams + latent L2 reg (reference train_sdf_autodecoder.py:26,44-45,
     88). vs_baseline: the reference's formulation on the same chip — gather
     [N, 128] latent rows per point and run the fp32 concat MLP
-    (train_sdf_autodecoder.py:78-87) — vs our projected-table gather."""
+    (train_sdf_autodecoder.py:78-87) — vs our production step (same gather,
+    bf16 matmul inputs with fp32 master weights)."""
     import optax
 
     from shapegan_tpu.models.sdf_net import SDFNet

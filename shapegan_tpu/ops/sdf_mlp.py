@@ -125,6 +125,12 @@ def apply(params: Params, points: jax.Array, latents: jax.Array, dtype=jnp.float
     """Evaluate SDF at ``points`` [N, 3] with per-point latents [N, L] → [N].
 
     Equivalent to the reference forward (/root/reference/model/sdf_net.py:56-61).
+    The fan-in dots keep ``preferred_element_type=dtype`` deliberately: the
+    MXU accumulates in fp32 regardless (bf16 preferred only rounds the
+    OUTPUT, one rounding like any layer), while a fp32 preferred type makes
+    the pre-activations fp32 and so forces the backward's fan-in transpose
+    matmuls to run with fp32 cotangents at fp32 rate — measured 1.5x slower
+    per autodecoder train step.
     """
     pts = points.astype(dtype)
     z = latents.astype(dtype)

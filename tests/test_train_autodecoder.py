@@ -62,6 +62,41 @@ def test_autodecoder_converges_on_sphere():
     assert float(epoch_losses[-1]) <= losses[-1] * 1.1
 
 
+def test_bf16_step_grads_track_fp32_truth():
+    """The trainer's production bf16 compute (fp32 master weights + fp32
+    accumulation) must produce gradients aligned with the fp32-truth
+    gradients — each lossy path is compared against fp32 truth, never two
+    lossy paths against each other."""
+    net = SDFNet()
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-1, 1, (2048, 3)).astype(np.float32))
+    sdf = jnp.asarray(
+        np.clip(rng.normal(0, 0.05, 2048), -0.1, 0.1).astype(np.float32)
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    codes = jax.random.normal(jax.random.PRNGKey(1), (4, 128)) * 1e-2
+    shape_idx = jnp.asarray(rng.integers(0, 4, 2048), jnp.int32)
+
+    def make_loss(dtype):
+        def loss_fn(p, c):
+            bc = c[shape_idx]
+            out = net.apply(p, pts, bc, dtype=dtype)
+            return jnp.mean(jnp.abs(out - sdf)) + ad.SIGMA * jnp.mean(bc**2)
+
+        return loss_fn
+
+    g_true = jax.grad(make_loss(jnp.float32), argnums=(0, 1))(params, codes)
+    g_bf16 = jax.grad(make_loss(ad.COMPUTE_DTYPE), argnums=(0, 1))(params, codes)
+
+    def cosine(a, b):
+        a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+    for key in g_true[0]:
+        assert cosine(g_true[0][key], g_bf16[0][key]) > 0.98, key
+    assert cosine(g_true[1], g_bf16[1]) > 0.98
+
+
 def test_full_loop_saves_net_and_latents(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     config = TrainConfig(
