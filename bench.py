@@ -151,7 +151,7 @@ def bench_gan_steps():
     included (reference train_hybrid_progressive_gan.py:102-111,135)."""
     import optax
 
-    from shapegan_tpu.models.progressive_gan import RESOLUTIONS
+    from shapegan_tpu.models.progressive_gan import RESOLUTIONS, ProgressiveDiscriminator
     from shapegan_tpu.ops.losses import gradient_penalty
     from shapegan_tpu.train import hybrid_progressive_gan as prog
     from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inference
@@ -159,6 +159,10 @@ def bench_gan_steps():
     iteration, batch = 2, 16
     res = RESOLUTIONS[iteration]
     net, disc, g_params0, d_params0 = prog.create_models(seed=0)
+    # The reference critic genuinely computes the zero-padded entry conv
+    # (model/progressive_gan.py:9-16); ours slices the kernel to the one
+    # real input channel (bit-exact). Baseline gets the reference critic.
+    disc_ref = ProgressiveDiscriminator(entry_slice=False)
     g_tx = optax.rmsprop(1e-4)
     d_tx = optax.rmsprop(1e-4)
     grid = jnp.asarray(voxel_coordinates(res))
@@ -166,7 +170,7 @@ def bench_gan_steps():
         jax.random.PRNGKey(3), (batch, res, res, res), minval=-0.1, maxval=0.1
     )
 
-    def make_runner(gen_train, gen_infer):
+    def make_runner(gen_train, gen_infer, disc):
         def d_loss(d_params, g_params, real, rng):
             z_rng, gp_rng = jax.random.split(rng)
             z = jax.random.normal(z_rng, (batch, 128))
@@ -229,6 +233,7 @@ def bench_gan_steps():
     ours = make_runner(
         lambda p, z: generate_volumes(net, p, grid, z, res),
         lambda p, z: generate_volumes_inference(net, p, grid, z, res),
+        disc,
     )
 
     def ref_volumes(p, z):
@@ -237,7 +242,7 @@ def bench_gan_steps():
         out = sdf_mlp.apply(p, pts_rep, lat_rep, dtype=jnp.float32)
         return out.reshape(batch, res, res, res)
 
-    baseline = make_runner(ref_volumes, ref_volumes)
+    baseline = make_runner(ref_volumes, ref_volumes, disc_ref)
 
     t_ours = time_step_runner(ours, g_params0, d_params0, data)
     t_base = time_step_runner(baseline, g_params0, d_params0, data)

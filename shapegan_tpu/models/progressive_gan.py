@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from shapegan_tpu import LATENT_CODE_SIZE  # noqa: F401
 from shapegan_tpu.models import make_torch_bias_init, torch_uniform_init
@@ -56,7 +57,18 @@ class ProgressiveDiscriminator(nn.Module):
 
     ``iteration`` is passed per call (static); ``fade_in_progress`` is a
     traced scalar in [0, 1].
+
+    ``entry_slice`` (default on) applies the entry conv with its kernel
+    sliced to the one real input channel instead of zero-padding the input
+    with ``from_sdf`` first — bit-exact (conv is linear; the padded channels
+    are zero) but up to 32× fewer FLOPs in the entry layer, which sits at
+    the iteration's largest spatial resolution. Measured on v5e at 32³
+    batch 16: WGAN-GP critic step 8.6 → 5.1 ms. The reference genuinely
+    computes the padded conv (/root/reference/model/progressive_gan.py:9-16,
+    :44-47); bench.py uses ``entry_slice=False`` for the baseline runner.
     """
+
+    entry_slice: bool = True
 
     def setup(self):
         self.optional_layers = [
@@ -78,9 +90,28 @@ class ProgressiveDiscriminator(nn.Module):
             1, kernel_init=torch_uniform_init, bias_init=make_torch_bias_init(128)
         )
 
+    def _entry_conv(self, iteration: int, x):
+        """The grown iteration's first conv on the raw 1-channel SDF volume.
+
+        Init-time (and with ``entry_slice=False``) this is the literal
+        reference computation — zero-pad channels, full conv — so the
+        parameter pytree is identical either way; at apply time the sliced
+        kernel computes the same values directly from the single channel.
+        """
+        if self.is_initializing() or not self.entry_slice or FEATURE_COUNTS[iteration] == 1:
+            return self.optional_layers[iteration](from_sdf(x, iteration))
+        p = self.variables["params"][f"optional_layers_{iteration}"]
+        resolution = RESOLUTIONS[iteration]
+        x = x.reshape((-1, resolution, resolution, resolution, 1))
+        y = lax.conv_general_dilated(
+            x, p["kernel"][:, :, :, :1, :], window_strides=(2, 2, 2),
+            padding=[(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + p["bias"]
+
     def __call__(self, x, iteration: int = 0, fade_in_progress=1.0):
         x_in = x
-        x = _lrelu(self.optional_layers[iteration](from_sdf(x, iteration)))
+        x = _lrelu(self._entry_conv(iteration, x))
         if iteration > 0:
             # Fade-in blends the freshly-grown layer's output with the RAW
             # zero-padded stride-2 downsample of the input (reference :48-50).

@@ -102,6 +102,27 @@ def test_progressive_discriminator_all_iterations():
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_progressive_entry_slice_matches_padded_conv():
+    """The sliced-kernel entry conv must equal the reference's zero-pad +
+    full conv bitwise-up-to-fp32-noise at every iteration and fade level
+    (grads too — the GP differentiates through the entry conv)."""
+    d_fast = ProgressiveDiscriminator()
+    d_ref = ProgressiveDiscriminator(entry_slice=False)
+    variables = d_ref.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 64)), iteration=len(RESOLUTIONS) - 1
+    )
+    for iteration, res in enumerate(RESOLUTIONS):
+        x = jax.random.normal(jax.random.PRNGKey(iteration), (2, res, res, res))
+        for fade in (1.0, 0.3):
+            a = d_ref.apply(variables, x, iteration=iteration, fade_in_progress=fade)
+            b = d_fast.apply(variables, x, iteration=iteration, fade_in_progress=fade)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        ga = jax.grad(lambda v: jnp.sum(d_ref.apply(v, x, iteration=iteration)))(variables)
+        gb = jax.grad(lambda v: jnp.sum(d_fast.apply(v, x, iteration=iteration)))(variables)
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5)
+
+
 def test_progressive_fade_in_blends():
     d = ProgressiveDiscriminator()
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 16))
