@@ -150,64 +150,98 @@ def main():
 
     stage("critic fwd+bwd (params)", d_fwd_bwd, d_params, real)
 
-    # --- gradient penalty double grad ------------------------------------
-    fake_fixed = jax.block_until_ready(
-        generate_volumes_inference(
-            net, g_params, grid, jax.random.normal(jax.random.PRNGKey(5), (batch, 128)), res
-        )
+    # --- step-level rows: EVOLVING-chain ablations ------------------------
+    # Step times MUST be measured with the params evolving through the scan
+    # carry. timed_scan's constant-params trick is fine for the stages above
+    # (their work depends on a fresh per-step key) but lets XLA hoist/CSE
+    # the critic subgraphs across iterations in full-step measurements —
+    # the r3-early "GP double-grad <0.3 ms" figure was such an artifact
+    # (evolving chain: ~3.5 ms). Ablation differences against the full
+    # evolving D step give each stage's true marginal cost.
+    fake_const = jax.random.uniform(
+        jax.random.PRNGKey(5), (batch, res, res, res), minval=-0.1, maxval=0.1
     )
 
-    def gp_only(d_params, real, fake, key):
-        grads = jax.grad(
-            lambda p: gradient_penalty(lambda x: critic(p, x), key, real, fake, 10.0)
-        )(d_params)
-        return jax.tree.leaves(grads)[0].ravel()[0]
+    def make_d_chain(with_gp, with_fake_gen):
+        def d_loss(d_params, g_params, real, rng):
+            z_rng, gp_rng = jax.random.split(rng)
+            if with_fake_gen:
+                z = jax.random.normal(z_rng, (batch, 128))
+                fake = jax.lax.stop_gradient(
+                    generate_volumes_inference(net, g_params, grid, z, res)
+                )
+            else:
+                fake = fake_const
+            loss = jnp.mean(critic(d_params, fake)) - jnp.mean(critic(d_params, real))
+            if with_gp:
+                loss += gradient_penalty(
+                    lambda x: critic(d_params, x), gp_rng, real, fake, 10.0
+                )
+            return loss
 
-    stage("GP double-grad (d/d d_params)", gp_only, d_params, real, fake_fixed)
+        @jax.jit
+        def run(g_params, d_params, real, steps):
+            opt = d_tx.init(d_params)
 
-    # --- full steps (same losses as bench.py) -----------------------------
-    def d_loss(d_params, g_params, real, rng):
-        z_rng, gp_rng = jax.random.split(rng)
-        z = jax.random.normal(z_rng, (batch, 128))
-        fake = jax.lax.stop_gradient(generate_volumes_inference(net, g_params, grid, z, res))
-        gp = gradient_penalty(lambda x: critic(d_params, x), gp_rng, real, fake, 10.0)
-        return jnp.mean(critic(d_params, fake)) - jnp.mean(critic(d_params, real)) + gp
+            def body(carry, step):
+                d_params, opt = carry
+                rng = jax.random.fold_in(jax.random.PRNGKey(11), step)
+                grads = jax.grad(d_loss)(d_params, g_params, real, rng)
+                upd, opt = d_tx.update(grads, opt, d_params)
+                return (optax.apply_updates(d_params, upd), opt), None
 
-    def d_step(d_params, d_opt, g_params, real, key):
-        grads = jax.grad(d_loss)(d_params, g_params, real, key)
-        upd, new_opt = d_tx.update(grads, d_opt, d_params)
-        new_params = optax.apply_updates(d_params, upd)
-        return jax.tree.leaves(new_params)[0].ravel()[0]
+            carry, _ = jax.lax.scan(body, (d_params, opt), steps)
+            return sum(
+                l.ravel()[0].astype(jnp.float32) for l in jax.tree.leaves(carry)
+            )[None]
 
-    stage("full critic step (incl. G fake)", d_step, d_params, d_opt, g_params, real)
+        return run
 
-    def g_loss(g_params, d_params, rng):
-        z = jax.random.normal(rng, (batch, 128))
-        fake = generate_volumes(net, g_params, grid, z, res)
-        return -jnp.mean(critic(d_params, fake))
+    @jax.jit
+    def g_chain(g_params, d_params, steps):
+        def g_loss(g_params, rng):
+            z = jax.random.normal(rng, (batch, 128))
+            fake = generate_volumes(net, g_params, grid, z, res)
+            return -jnp.mean(critic(d_params, fake))
 
-    def g_step(g_params, g_opt, d_params, key):
-        grads = jax.grad(g_loss)(g_params, d_params, key)
-        upd, new_opt = g_tx.update(grads, g_opt, g_params)
-        new_params = optax.apply_updates(g_params, upd)
-        return jax.tree.leaves(new_params)[0].ravel()[0]
+        opt = g_tx.init(g_params)
 
-    stage("full generator step", g_step, g_params, g_opt, d_params)
+        def body(carry, step):
+            g_params, opt = carry
+            grads = jax.grad(g_loss)(g_params, jax.random.fold_in(jax.random.PRNGKey(13), step))
+            upd, opt = g_tx.update(grads, opt, g_params)
+            return (optax.apply_updates(g_params, upd), opt), None
 
-    # --- optimizer alone --------------------------------------------------
-    zero_grads = jax.tree.map(jnp.zeros_like, d_params)
+        carry, _ = jax.lax.scan(body, (g_params, opt), steps)
+        return sum(
+            l.ravel()[0].astype(jnp.float32) for l in jax.tree.leaves(carry)
+        )[None]
 
-    def opt_only(d_params, d_opt, key):
-        del key
-        upd, _ = d_tx.update(zero_grads, d_opt, d_params)
-        return jax.tree.leaves(optax.apply_updates(d_params, upd))[0].ravel()[0]
+    def chain_time(run, *args):
+        short, long = jnp.arange(reps), jnp.arange(4 * reps)
+        float(np.asarray(run(*args, short)).ravel()[0])
+        float(np.asarray(run(*args, long)).ravel()[0])
+        t0 = time.perf_counter()
+        float(np.asarray(run(*args, short)).ravel()[0])
+        t1 = time.perf_counter()
+        float(np.asarray(run(*args, long)).ravel()[0])
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (3 * reps)
 
-    stage("critic optimizer update alone", opt_only, d_params, d_opt)
+    t_full = chain_time(make_d_chain(True, True), g_params, d_params, real)
+    t_nogp = chain_time(make_d_chain(False, True), g_params, d_params, real)
+    t_nofake = chain_time(make_d_chain(True, False), g_params, d_params, real)
+    t_g = chain_time(g_chain, g_params, d_params)
 
-    # Effective per-batch time: D step every batch + G step every 5th
-    # (reference :135).
-    t = dict(rows)
-    per_batch = t["full critic step (incl. G fake)"] + t["full generator step"] / 5.0
+    def row(name, t):
+        print(f"{name:<34s} {t * 1e3:8.2f} ms")
+
+    row("full critic step (evolving)", t_full)
+    row("  - fake generation (ablated)", t_full - t_nofake)
+    row("  - GP double-grad (ablated)", t_full - t_nogp)
+    row("  - base WGAN critic (residual)", t_nofake + t_nogp - t_full)
+    row("full generator step (evolving)", t_g)
+    per_batch = t_full + t_g / 5.0
     print(f"{'amortized per-batch (D + G/5)':<34s} {per_batch * 1e3:8.2f} ms "
           f"-> {1.0 / per_batch:.1f} steps/s")
 
