@@ -32,8 +32,14 @@ crosses the host link. Within a trace:
 Measured at the reference settings (800², ssaa 2, ≤1000 iterations, shadow
 rays + ground shadows) through the same remote TPU link: 33.5 s/frame with
 round 1's host-compaction loop → 7.5 s with round 2's single-dispatch
-pipeline → round 3 adds the decay-tuned compaction schedule, the oscillator
-tail cap, shadow-ray pre-compaction, and the latent fold (this file).
+pipeline → round 3: 2.x s via (a) the single-shape points kernel with
+in-kernel fan-in projections (ops/sdf_mlp_pallas.apply_points_fused — the
+B=1 grid kernel streamed 512 B/point of pre-projections per trace
+iteration; 134 → 160 M pts/s), (b) decay-measured compaction schedules for
+both the primary and shadow traces (85n and 22n evaluations/frame; exact
+iter-0 compaction of never-entered lanes), (c) the oscillator tail cap,
+(d) the latent fold, and (e) the on-device Lanczos-3 SSAA downsample
+(only the final frame crosses the ~25 MB/s link).
 """
 
 from __future__ import annotations
@@ -170,13 +176,20 @@ def _default_schedule(kind, n, iterations):
         # Shadow rays re-hit within a few steps or escape at the 0.1 clamp
         # in ~20-40 steps; compact early.
         return ((40, -(-n // 4)),)
-    # Primary: 54% active @40 -> 3/4 bucket; 21% @80 -> 1/2; 13.6% @100 ->
-    # 1/4; oscillator plateau 13.2% -> 1/5 for the long stage + capped tail.
+    # Primary, sized from the measured decay (bench_profile raymarch=1:
+    # entered 78%, active 55% @40 / 38% @60 / 22% @80 / 15% @100, plateau
+    # 14.6%) with ~1.3x headroom per bucket — except the iter-0 bucket,
+    # which is exact: non-entered lanes are deterministic misses of the
+    # camera geometry, not shape-dependent. With the in-kernel-projection
+    # points kernel the trace is compute-bound, so bucket width IS eval
+    # cost: this schedule runs ~85n evaluations/frame vs 129n for the
+    # round-2 schedule (whose mid-buckets carried 2.4x headroom).
     return (
-        (40, -(-n * 3 // 4)),
-        (40, -(-n // 2)),
-        (20, -(-n // 4)),
-        (100, -(-n // 5)),
+        (0, -(-n * 4 // 5)),
+        (40, -(-n * 18 // 25)),
+        (20, -(-n // 2)),
+        (20, -(-n * 3 // 10)),
+        (20, -(-n // 5)),
     )
 
 
@@ -268,20 +281,29 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     """On-device shadow test for the masked lanes: 1.0 where the 200-step ray
     toward the light re-hits the shape (or is still active — reference :122).
 
-    The masked lanes are PRE-compacted into an n/2 bucket (a zero-iteration
-    first schedule stage) before any tracing: shadow rays exist only for
-    model-hit or ground lanes, which cover well under half the frame at the
-    fixed reference camera, so the bucket halves every shadow iteration's
-    width. Lanes beyond the bucket (model covering >50% of pixels — extreme
-    close-ups) stay ACTIVE at full width and render conservatively as
-    shadowed, the same degradation budget exhaustion has (reference :122).
-    Shadow rays step at clamp 0.1 and resolve in ~40 steps."""
+    The masked lanes are PRE-compacted into a 3n/4 bucket (a zero-iteration
+    first schedule stage) before any tracing. Measured on the chair frame:
+    the shadow mask (model hits ∪ lit ground) covers 0.672n at the fixed
+    reference camera — an earlier n/2 bucket overflowed ~0.17n lanes into
+    the conservative shadowed fallback, which rendered as a flat gray band
+    across the lower frame. Lanes beyond 3n/4 (extreme close-ups) still
+    degrade to shadowed, the same degradation budget exhaustion has
+    (reference :122). The later buckets follow the measured decay at clamp
+    0.1 — active 0.53n @10, 0.38n @20, then a cliff to 0.015n @30 and a
+    0.006n plateau — with 1.3-4x headroom (generous around the cliff,
+    whose onset iteration is shape-dependent): ~22n evaluations per frame
+    vs 35n before."""
     n = points.shape[0]
     directions = light_position[None, :] - points
     directions = directions / jnp.linalg.norm(directions, axis=1, keepdims=True)
     start = points + directions * 0.1
     status = jnp.where(mask, _ACTIVE, _MISS)
-    schedule = () if n <= 2048 else ((0, -(-n // 2)), (40, -(-n // 8)))
+    schedule = () if n <= 2048 else (
+        (0, -(-n * 3 // 4)),
+        (20, -(-n // 2)),
+        (10, -(-n // 16)),
+        (10, -(-n // 64)),
+    )
     _, status = _trace_staged(
         "shadow", params, latent, start, directions, status, 200,
         threshold, 0.1, sdf_offset, radius, schedule,
@@ -290,17 +312,57 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     return ((status == _HIT) | (status == _ACTIVE)).astype(jnp.float32)
 
 
+def _lanczos3_downsample(image, factor: int):
+    """Separable Lanczos-3 resample for an integer decimation ``factor``
+    (the reference's PIL ``Image.LANCZOS`` resize of the SSAA frame,
+    raymarching.py:176-177, computed on device so only the final
+    [res, res, 3] crosses the host link instead of the ssaa²-times-larger
+    SSAA frame). For integer factors every output pixel sees the same
+    12·factor/2-tap stencil, so the resample is exactly two strided
+    depthwise convolutions; borders use edge replication (PIL renormalizes
+    truncated stencils instead — differs only within 3 output pixels of the
+    frame edge, which the fixed camera leaves as white background)."""
+    s = factor
+    c0 = 0.5 * s - 0.5  # source-space center of output pixel 0
+    lo = int(math.ceil(c0 - 3 * s))
+    hi = int(math.floor(c0 + 3 * s))
+    taps = np.arange(lo, hi + 1)
+    x = (taps - c0) / s
+    w = np.sinc(x) * np.sinc(x / 3.0)
+    w = (w / w.sum()).astype(np.float32)
+
+    pad_lo, pad_hi = -lo, hi - (s - 1)
+    kern = jnp.asarray(w)
+
+    def along_rows(img):  # [H, W, 3] -> [H/s, W, 3]
+        img = jnp.pad(img, ((pad_lo, pad_hi), (0, 0), (0, 0)), mode="edge")
+        # [W*3 channels, 1, H] depthwise conv over the row axis.
+        t = img.transpose(1, 2, 0).reshape(1, -1, img.shape[0])
+        out = jax.lax.conv_general_dilated(
+            t, jnp.tile(kern[None, None, :], (t.shape[1], 1, 1)),
+            window_strides=(s,), padding="VALID",
+            feature_group_count=t.shape[1],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return out.reshape(img.shape[1], img.shape[2], -1).transpose(2, 0, 1)
+
+    image = along_rows(image)
+    image = along_rows(image.transpose(1, 0, 2)).transpose(1, 0, 2)
+    return image
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "size", "iterations", "threshold", "sdf_offset", "radius",
-        "vertical_cutoff", "color",
+        "vertical_cutoff", "color", "ssaa",
     ),
 )
 def _render_pixels(params, latent, camera_position, camera_right, camera_up,
                    camera_forward, light_position, *, size, iterations, threshold,
-                   sdf_offset, radius, vertical_cutoff, color):
-    """One frame, fully on device: returns [size, size, 3] uint8 pixels."""
+                   sdf_offset, radius, vertical_cutoff, color, ssaa=1):
+    """One frame, fully on device: returns [size/ssaa, size/ssaa, 3] uint8
+    pixels (the SSAA downsample also runs on device)."""
     from shapegan_tpu.ops import sdf_mlp
 
     # One fixed code for the whole frame: fold it into the biases so every
@@ -397,6 +459,8 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     pixels = pixels - jnp.where(ground, (1.0 - 0.65) * shadow, 0.0)[:, None]
 
     pixels = jnp.clip(pixels, 0.0, 1.0).reshape(size, size, 3)
+    if ssaa != 1:
+        pixels = jnp.clip(_lanczos3_downsample(pixels, ssaa), 0.0, 1.0)
     return jnp.round(pixels * 255.0).astype(jnp.uint8)
 
 
@@ -416,9 +480,11 @@ def render_image(
 ):
     """Render one latent code to a PIL image (reference render_image parity).
 
-    The whole frame — rays, trace, normals, shadows, shading, ground pass —
-    is a single jitted device dispatch; the host only receives uint8 pixels
-    and applies the SSAA Lanczos downsample (PIL, matching the reference)."""
+    The whole frame — rays, trace, normals, shadows, shading, ground pass,
+    and the SSAA Lanczos-3 downsample — is a single jitted device dispatch;
+    the host only receives the final [resolution, resolution, 3] uint8
+    pixels (the ~25 MB/s remote link made fetching the ssaa²-larger SSAA
+    frame a measurable share of round-2 frame time)."""
     from PIL import Image
 
     camera_position = CAMERA_POSITION
@@ -446,6 +512,7 @@ def render_image(
             radius=radius,
             vertical_cutoff=vertical_cutoff,
             color=tuple(color),
+            ssaa=ssaa,
         )
     )
 
@@ -455,10 +522,7 @@ def render_image(
         pixels = crop_image(pixels / 255.0, background=1)
         pixels = np.uint8(np.round(pixels * 255.0))
 
-    image = Image.fromarray(pixels, "RGB")
-    if ssaa != 1:
-        image = image.resize((resolution, resolution), Image.LANCZOS)
-    return image
+    return Image.fromarray(pixels, "RGB")
 
 
 def render_image_for_index(net, params, latent_codes, index: int, crop: bool = False,

@@ -9,7 +9,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from shapegan_tpu.ops import sdf_mlp
 from shapegan_tpu.ops.coords import voxel_coordinates
-from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_fused, apply_grid_trainable
+from shapegan_tpu.ops.sdf_mlp_pallas import (
+    apply_grid_fused,
+    apply_grid_trainable,
+    apply_points_fused,
+)
 
 
 def test_fused_forward_matches_xla_interpreted():
@@ -32,6 +36,28 @@ def test_fused_forward_multitile_interpreted():
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(apply_grid_fused(params, grid, lats))
     np.testing.assert_allclose(out, expected, atol=2e-2)
+
+
+def test_points_kernel_matches_xla_interpreted():
+    """The single-shape points kernel (in-kernel fan-in projections — the
+    raymarch hot path) against the XLA bf16 reference, including a padded
+    tail and the latent-folded L=0 form."""
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (3000, 3), minval=-1, maxval=1)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (128,))
+    expected = np.asarray(
+        sdf_mlp.apply_grid(params, pts, lat[None, :], dtype=jnp.bfloat16)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(apply_points_fused(params, pts, lat, tile=1024))
+    np.testing.assert_allclose(out, expected, atol=2e-2)
+
+    folded = sdf_mlp.fold_latent(params, lat)
+    with pltpu.force_tpu_interpret_mode():
+        out_folded = np.asarray(
+            apply_points_fused(folded, pts, jnp.zeros(0, jnp.float32), tile=1024)
+        )
+    np.testing.assert_allclose(out_folded, expected, atol=2e-2)
 
 
 def _vjp_check(res, batch):
