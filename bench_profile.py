@@ -38,7 +38,8 @@ from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inf
 
 
 def parse_args(argv):
-    opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400}
+    opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400,
+            "stages": 0}
     for arg in argv:
         if "=" in arg:
             k, v = arg.split("=", 1)
@@ -250,6 +251,8 @@ def _dispatch():
     opts = parse_args(sys.argv[1:])
     if opts["raymarch"]:
         raymarch_decay(resolution=opts["resolution"])
+    elif opts["stages"]:
+        raymarch_stage_budget()
     else:
         main()
 
@@ -311,6 +314,108 @@ def raymarch_decay(resolution=400, iterations=500):
             print(f"iter {it:4d}: {counts[it-1]/n:.4f} active")
     tail = int(np.argmax(counts == 0)) if (counts == 0).any() else iterations
     print(f"all-resolved at iter {tail}")
+
+
+def raymarch_stage_budget(size=1600, iterations=1000):
+    """Per-stage budget of the reference-settings frame (800², ssaa 2):
+    cumulative jitted sub-pipelines of render/raymarching._render_pixels
+    (rays+entry → +primary trace → +normals → +shadow trace → full frame);
+    consecutive differences are the stage costs. Each prefix is one device
+    dispatch, so the link's ~30 ms floor cancels in the differences."""
+    import bench
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.render import raymarching as rm
+
+    net, params0, code = bench._overfit_chair()
+    latent0 = jnp.asarray(np.zeros(0, np.float32))
+    n = size * size
+    f32 = jnp.float32
+
+    def frame_prefix(params, stage):
+        """Stages 0..3 of _render_pixels (same math, truncated)."""
+        params = sdf_mlp.fold_latent(params, latent0)
+        latent = latent0[:0]
+        cam = jnp.asarray(rm.CAMERA_POSITION, f32)
+        fwd = -cam / jnp.linalg.norm(cam)
+        right = jnp.cross(fwd, jnp.asarray([0.0, 1.0, 0.0], f32))
+        right = right / jnp.linalg.norm(right)
+        up = jnp.cross(fwd, right)
+        up = up / jnp.linalg.norm(up)
+        lin = jnp.linspace(-1.0, 1.0, size, dtype=f32)
+        u, v = jnp.meshgrid(lin, lin)
+        uv = jnp.stack([u.reshape(-1), v.reshape(-1)], axis=1)
+        focal = 1.0 / jnp.tan(jnp.arcsin(1.0 / jnp.linalg.norm(cam)))
+        dirs = uv[:, 0:1] * right[None] + uv[:, 1:2] * up[None] + focal * fwd[None]
+        dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+        points = jnp.broadcast_to(cam[None, :], (n, 3)).astype(f32)
+        b = 2.0 * jnp.einsum("ij,ij->i", points, dirs)
+        c = jnp.dot(cam, cam) - 1.0
+        disc = b * b - 4.0 * c
+        entered = disc >= 0
+        dist = jnp.where(entered, (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / 2.0, 0.0)
+        points = points + dirs * dist[:, None]
+        if stage == 0:
+            return jnp.sum(points)
+        status = jnp.where(entered, rm._ACTIVE, rm._MISS)
+        sched = rm._default_schedule("primary", n, iterations)
+        points, status = rm._trace_staged(
+            "primary", params, latent, points, dirs, status, iterations,
+            0.0005, 0.02, 0.0, 1.0, sched, tail_cap=rm.TAIL_ITERS if sched else None)
+        if stage == 1:
+            return jnp.sum(points) + jnp.sum(status)
+        normal = rm._points_gradient(params, points, latent)
+        normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=1, keepdims=True), 1e-12)
+        if stage == 2:
+            return jnp.sum(points) + jnp.sum(status) + jnp.sum(normal)
+        model_mask = (status == rm._HIT) | (status == rm._ACTIVE)
+        any_hit = jnp.any(model_mask)
+        ground_plane = jnp.min(jnp.where(model_mask, points[:, 1], jnp.inf))
+        ground = (dirs[:, 1] < 0) & ~model_mask & any_hit
+        t = (points[:, 1] - ground_plane) / jnp.where(dirs[:, 1] < 0, dirs[:, 1], -1.0)
+        g_pts = points - dirs * t[:, None]
+        ground &= jnp.sqrt(g_pts[:, 0] ** 2 + g_pts[:, 2] ** 2) < 3
+        shadow_mask = model_mask | ground
+        shadow_points = jnp.where(model_mask[:, None], points,
+                                  jnp.where(ground[:, None], g_pts, 3.0))
+        light = jnp.asarray(rm.LIGHT_POSITION, f32)
+        shadow = rm._shadow_factor(params, latent, shadow_points, shadow_mask,
+                                   light, 0.001, 0.0, 1.0)
+        return jnp.sum(points) + jnp.sum(status) + jnp.sum(normal) + jnp.sum(shadow)
+
+    prefixes = [jax.jit(lambda p, s=s: frame_prefix(p, s)) for s in range(4)]
+
+    def timeit(fn, *args, reps=3):
+        fn(*args).block_until_ready()
+        vals, t0 = [], time.perf_counter()
+        for _ in range(reps):
+            vals.append(fn(*args))
+        _ = [float(np.asarray(v).sum()) for v in vals]  # value fetch forces completion
+        return (time.perf_counter() - t0) / reps
+
+    times = [timeit(fn, params0) for fn in prefixes]
+
+    def full(params):
+        cam = np.asarray(rm.CAMERA_POSITION, np.float32)
+        fwd = -cam / np.linalg.norm(cam)
+        right = np.cross(fwd, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
+        up = np.cross(fwd, right); up /= np.linalg.norm(up)
+        return rm._render_pixels(
+            params, latent0, jnp.asarray(cam), jnp.asarray(right), jnp.asarray(up),
+            jnp.asarray(fwd), jnp.asarray(rm.LIGHT_POSITION, np.float32),
+            size=size, iterations=iterations, threshold=0.0005, sdf_offset=0.0,
+            radius=1.0, vertical_cutoff=None, color=(0.8, 0.1, 0.1), ssaa=2)
+
+    t_full = timeit(full, params0)
+
+    print(f"# raymarch stage budget, {size}^2 SSAA rays, {iterations} iter budget")
+    labels = ["rays + sphere entry", "primary trace", "surface normals",
+              "shadow trace (model+ground merged)"]
+    prev = 0.0
+    for label, t in zip(labels, times):
+        print(f"{label:<38s} {(t - prev) * 1e3:9.1f} ms  (cum {t:.3f} s)")
+        prev = t
+    print(f"{'shading + SSAA downsample + u8 (rest)':<38s} {(t_full - prev) * 1e3:9.1f} ms")
+    print(f"{'FULL FRAME':<38s} {t_full * 1e3:9.1f} ms  -> {1.0 / t_full:.3f} shapes/s")
 
 
 if __name__ == "__main__":
