@@ -196,23 +196,11 @@ def _points_kernel(ptsT_ref, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
     out_ref[0, :] = jnp.tanh(head + b8).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
-def apply_points_fused(params, points, latent, tile: int = 2048,
-                       compute_dtype=jnp.bfloat16):
-    """Fused single-shape evaluation: points [N, 3] x latent [L] → [1, N].
-
-    The raymarch hot path (render/raymarching.py): one latent (usually
-    pre-folded into the biases, L=0), fresh points every call. Projections
-    run in-kernel (see _points_kernel); only the [8, N] transposed points
-    and the [1, N] output cross HBM per call.
-    """
-    cd = compute_dtype
-    n = points.shape[0]
+def _points_operands(params, latent, cd):
+    """Shared kernel operands for the single-shape kernels: latent terms
+    pre-combined into the layer-1/-5 bias rows, fan-in weights padded to the
+    [8, breadth] transposed-points layout, trunk weights/biases stacked."""
     breadth = params["w2"].shape[0]
-    pad = (-n) % tile
-    # [8, N] transposed points: rows 0-2 = xyz, rows 3-7 zero.
-    ptsT = jnp.zeros((8, n + pad), cd).at[:3, :n].set(points.T.astype(cd))
-
     z = latent.astype(cd)[None, :]
     zz1 = (jnp.dot(z, params["w1z"].astype(cd), preferred_element_type=cd)
            + params["b1"].astype(cd))
@@ -235,6 +223,27 @@ def apply_points_fused(params, points, latent, tile: int = 2048,
     ).astype(cd)
     b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
     w8row = params["w8"].astype(cd).T  # [1, 256]
+    return zz1, zz5, w1p, w5p, w_stack, b_stack, w8row
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
+def apply_points_fused(params, points, latent, tile: int = 2048,
+                       compute_dtype=jnp.bfloat16):
+    """Fused single-shape evaluation: points [N, 3] x latent [L] → [1, N].
+
+    The raymarch hot path (render/raymarching.py): one latent (usually
+    pre-folded into the biases, L=0), fresh points every call. Projections
+    run in-kernel (see _points_kernel); only the [8, N] transposed points
+    and the [1, N] output cross HBM per call.
+    """
+    cd = compute_dtype
+    n = points.shape[0]
+    breadth = params["w2"].shape[0]
+    pad = (-n) % tile
+    # [8, N] transposed points: rows 0-2 = xyz, rows 3-7 zero.
+    ptsT = jnp.zeros((8, n + pad), cd).at[:3, :n].set(points.T.astype(cd))
+
+    zz1, zz5, w1p, w5p, w_stack, b_stack, w8row = _points_operands(params, latent, cd)
 
     out = pl.pallas_call(
         _points_kernel,
@@ -273,6 +282,156 @@ def apply_grid_best(params, grid_points, latents, dtype=jnp.float32):
             return apply_points_fused(params, grid_points, latents[0])
         return apply_grid_fused(params, grid_points, latents)
     return sdf_mlp.apply_grid(params, grid_points, latents, dtype=dtype)
+
+
+# ======================================================================
+# Fused sphere-trace kernel: K masked trace iterations per HBM round trip.
+# ======================================================================
+#
+# The staged raymarcher (render/raymarching.py) spends 78% of a frame in the
+# primary trace (bench_profile.py stages=1). With per-iteration dispatch,
+# every iteration re-reads and re-writes the full lane state from HBM around
+# one MLP evaluation (~98 M evals/s vs the points kernel's ~158 M pts/s
+# standalone). This kernel keeps each ray tile RESIDENT IN VMEM for all K
+# iterations of a schedule stage — evaluate, clamp, advance, hit/miss test in
+# one program — so the tile's HBM traffic amortizes over K evaluations.
+#
+# Status codes match render/raymarching (_ACTIVE, _HIT, _MISS = 0, 1, 2).
+
+TRACE_ACTIVE, TRACE_HIT, TRACE_MISS = 0, 1, 2
+
+
+def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float,
+                       sdf_offset: float, radius: float, cd):
+    """Build a trace-stage kernel for static (k, miss-test, constants).
+
+    Per iteration, identical math to raymarching's per-dispatch body:
+      sdf   = clip(tanh(MLP(p)) + offset, ±step_clamp)   (pre-advance point)
+      p    += dir * where(active, sdf, 0)
+      hit   = active & (sdf > 0) & (sdf < threshold)
+      miss  = active & (p outside: |p| > radius, or p_y > radius for shadow)
+    """
+
+    def kernel(ptsT_ref, dirsT_ref, status_ref, zz1_ref, zz5_ref, w1p_ref,
+               w5p_ref, w_ref, b_ref, w8row_ref, out_pts_ref, out_status_ref):
+        f32 = jnp.float32
+        w8row = w8row_ref[0, :].astype(f32)
+        b8 = b_ref[6, :].astype(f32)[0]
+        # Transpose the lane state ONCE per tile: carrying [T, 8] through the
+        # loop keeps the matmul operand layout-native; a per-iteration
+        # [8,T]→[T,8] relayout costs like an extra trunk matmul.
+        pts0 = ptsT_ref[:, :].T  # [T, 8] f32 (cols 3-7 zero)
+        dirs = dirsT_ref[:, :].T  # [T, 8]
+
+        def body(_, carry):
+            pts, status = carry  # [T, 8] f32, [1, T] int32
+            ptsc = pts.astype(cd)
+            x = jax.nn.relu(
+                jnp.dot(ptsc, w1p_ref[:, :], preferred_element_type=f32)
+                .astype(cd) + zz1_ref[0][None, :]
+            )
+            for layer in range(3):  # w2, w3, w4
+                x = jax.nn.relu(
+                    jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(cd)
+                    + b_ref[layer][None, :]
+                )
+            pp5 = jnp.dot(ptsc, w5p_ref[:, :],
+                          preferred_element_type=f32).astype(cd)
+            x = jax.nn.relu(
+                jnp.dot(x, w_ref[3], preferred_element_type=f32).astype(cd)
+                + pp5 + zz5_ref[0][None, :]
+            )
+            for layer in (4, 5):  # w6, w7
+                x = jax.nn.relu(
+                    jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(cd)
+                    + b_ref[layer][None, :]
+                )
+            head = jnp.sum(x.astype(f32) * w8row[None, :], axis=1)  # [T]
+            sdf = jnp.clip(jnp.tanh(head + b8) + sdf_offset, -step_clamp, step_clamp)
+
+            active = status[0] == TRACE_ACTIVE
+            pts = pts + dirs * jnp.where(active, sdf, 0.0)[:, None]
+            hits = active & (sdf > 0) & (sdf < threshold)
+            if shadow:
+                outside = pts[:, 1] > radius
+            else:
+                outside = jnp.sum(pts * pts, axis=1) > radius * radius
+            misses = active & outside
+            status = jnp.where(
+                hits, TRACE_HIT, jnp.where(misses, TRACE_MISS, status[0])
+            )[None, :]
+            return pts, status
+
+        pts, status = jax.lax.fori_loop(0, k, body, (pts0, status_ref[:, :]))
+        out_pts_ref[:, :] = pts.T
+        out_status_ref[:, :] = status
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "shadow", "threshold", "step_clamp", "sdf_offset", "radius", "tile",
+    "compute_dtype",
+))
+def trace_steps_fused(params, latent, points, directions, status, *, k: int,
+                      shadow: bool, threshold: float, step_clamp: float,
+                      sdf_offset: float, radius: float, tile: int = 2048,
+                      compute_dtype=jnp.bfloat16):
+    """Run ``k`` masked sphere-trace iterations fully in-kernel.
+
+    points/directions [N, 3] fp32, status [N] int32 (0 active / 1 hit /
+    2 miss). Returns (points, status) after k iterations. The latent (if any)
+    is folded into the bias rows, so the in-kernel MLP is latent-free."""
+    if latent.shape[0]:
+        params = sdf_mlp.fold_latent(params, latent)
+        latent = latent[:0]
+    cd = compute_dtype
+    n = points.shape[0]
+    breadth = params["w2"].shape[0]
+    pad = (-n) % tile
+    f32 = jnp.float32
+    ptsT = jnp.zeros((8, n + pad), f32).at[:3, :n].set(points.T.astype(f32))
+    dirsT = jnp.zeros((8, n + pad), f32).at[:3, :n].set(directions.T.astype(f32))
+    status_p = jnp.full((1, n + pad), TRACE_MISS, jnp.int32).at[0, :n].set(status)
+
+    zz1, zz5, w1p, w5p, w_stack, b_stack, w8row = _points_operands(params, latent, cd)
+
+    kernel = _make_trace_kernel(k, shadow, threshold, step_clamp, sdf_offset,
+                                radius, cd)
+    out_pts, out_status = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n + pad), f32),
+            jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
+        ),
+        grid=((n + pad) // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (n + pad) * k * 6 * breadth * breadth,
+            bytes_accessed=(n + pad) * (8 * 4 * 2 + 8 * 4 + 4 * 2),
+            transcendentals=(n + pad) * k,
+        ),
+    )(ptsT, dirsT, status_p, zz1, zz5, w1p, w5p, w_stack, b_stack, w8row)
+    return out_pts[:3, :n].T, out_status[0, :n]
 
 
 # ======================================================================

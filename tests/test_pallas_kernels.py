@@ -107,3 +107,85 @@ def test_fused_vjp_multitile_interpreted():
     # Multi-tile + odd batch: exercises cross-grid-step accumulator flushes
     # (dw/db/dzz blocks with constant index maps + pl.when init).
     _vjp_check(16, 3)
+
+
+def _reference_trace(params, lat, pts, dirs, status, k, *, shadow, threshold,
+                     step_clamp, sdf_offset, radius, dtype):
+    """Per-iteration host loop with the raymarcher's per-dispatch body math
+    (render/raymarching.py:_trace_staged make_body)."""
+    pts, status = np.asarray(pts, np.float32).copy(), np.asarray(status).copy()
+    dirs = np.asarray(dirs, np.float32)
+    for _ in range(k):
+        active = status == 0
+        sdf = np.asarray(
+            sdf_mlp.apply_grid(params, jnp.asarray(pts), lat[None, :], dtype=dtype)
+        )[0].astype(np.float32) + sdf_offset
+        sdf = np.clip(sdf, -step_clamp, step_clamp)
+        pts = pts + dirs * np.where(active, sdf, 0.0)[:, None]
+        hits = active & (sdf > 0) & (sdf < threshold)
+        if shadow:
+            misses = active & (pts[:, 1] > radius)
+        else:
+            misses = active & (np.linalg.norm(pts, axis=1) > radius)
+        status = np.where(hits, 1, np.where(misses, 2, status))
+    return pts, status
+
+
+def _trace_fixture(n=1500, seed=4):
+    """Inward rays from the unit sphere toward jittered targets, plus a few
+    pre-resolved lanes to check HIT/MISS lanes stay frozen."""
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (128,)) * 0.1
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    origins = jax.random.normal(k1, (n, 3))
+    origins = origins / jnp.linalg.norm(origins, axis=1, keepdims=True)
+    targets = jax.random.uniform(k2, (n, 3), minval=-0.3, maxval=0.3)
+    dirs = targets - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    status = jnp.zeros(n, jnp.int32).at[5].set(1).at[11].set(2)
+    return params, lat, origins, dirs, status
+
+
+def test_trace_steps_fused_fp32_interpreted():
+    """At fp32 compute the in-kernel trace must reproduce the per-dispatch
+    body step for step: same statuses, same positions (both paths are
+    f32 matmul + tanh; only summation order differs)."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import trace_steps_fused
+
+    params, lat, pts, dirs, status = _trace_fixture()
+    kw = dict(shadow=False, threshold=0.005, step_clamp=0.02, sdf_offset=0.0,
+              radius=1.0)
+    ref_pts, ref_status = _reference_trace(
+        params, lat, pts, dirs, status, 12, dtype=jnp.float32, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out_pts, out_status = trace_steps_fused(
+            params, lat, pts, dirs, status, k=12, tile=1024,
+            compute_dtype=jnp.float32, **kw)
+    agree = np.mean(np.asarray(out_status) == ref_status)
+    assert agree > 0.995, agree  # borderline threshold lanes may flip
+    same = np.asarray(out_status) == ref_status
+    np.testing.assert_allclose(np.asarray(out_pts)[same], ref_pts[same],
+                               atol=1e-4)
+
+
+def test_trace_steps_fused_shadow_bf16_interpreted():
+    """Shadow-kind miss test (y > radius) + bf16 compute: statuses track the
+    bf16 per-dispatch reference on nearly all lanes."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import trace_steps_fused
+
+    params, lat, pts, dirs, status = _trace_fixture(seed=7)
+    # Shadow rays march toward the light (up-ish).
+    dirs = jnp.abs(dirs).at[:, 1].set(jnp.abs(dirs[:, 1]) + 0.5)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    kw = dict(shadow=True, threshold=0.005, step_clamp=0.1, sdf_offset=0.0,
+              radius=1.0)
+    ref_pts, ref_status = _reference_trace(
+        params, lat, pts, dirs, status, 10, dtype=jnp.bfloat16, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out_pts, out_status = trace_steps_fused(
+            params, lat, pts, dirs, status, k=10, tile=1024, **kw)
+    agree = np.mean(np.asarray(out_status) == ref_status)
+    assert agree > 0.97, agree
+    # Pre-resolved lanes must not move.
+    np.testing.assert_allclose(np.asarray(out_pts)[[5, 11]],
+                               np.asarray(pts)[[5, 11]], atol=1e-6)
