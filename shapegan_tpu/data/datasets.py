@@ -189,6 +189,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self._epoch = None
+        self._epoch_pinned = False
         self._rng = np.random.default_rng(seed)
         if backend == "auto":
             in_memory = isinstance(dataset, ArrayDataset)
@@ -233,6 +234,7 @@ class BatchLoader:
         state). Forwards to the dataset (per-item subsample determinism);
         shuffle reseed is a no-op without a seed."""
         self._epoch = int(epoch)
+        self._epoch_pinned = True
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
         if self.seed is not None:
@@ -273,6 +275,18 @@ class BatchLoader:
             yield resolve(handle)
 
     def __iter__(self):
+        # Epoch freshness without set_epoch: a consumer that just iterates
+        # the loader repeatedly still advances the (seed, epoch, idx)
+        # subsample keys each pass — otherwise an epoch-keyed dataset
+        # (PointDataset with a seed) would silently serve the SAME
+        # num_points subsample of every shape forever. Trainers that call
+        # set_epoch (for resume reproducibility) pin the epoch explicitly
+        # and are unaffected.
+        if self._epoch_pinned:
+            self._epoch_pinned = False
+        else:
+            self.set_epoch(0 if self._epoch is None else self._epoch + 1)
+            self._epoch_pinned = False
         if self.backend == "process":
             # Early break / exception: the <= window already-submitted batches
             # finish decoding in the persistent pool and are dropped — bounded

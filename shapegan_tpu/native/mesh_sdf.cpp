@@ -271,7 +271,8 @@ struct BVH {
   }
 };
 
-void parallel_for(int n, const std::function<void(int, int)>& fn);
+void parallel_for(int n, const std::function<void(int, int)>& fn,
+                  int grain = 256);
 
 // --------------------------------------------------------------- depth scans
 //
@@ -323,7 +324,9 @@ void build_scans(const BVH& bvh, DepthScans& scans, int n_scans, int res) {
                      std::numeric_limits<float>::infinity());
 
   const int n_tris = (int)bvh.v0.size();
-  parallel_for(n_scans, [&](int lo, int hi) {
+  parallel_for(
+      n_scans,
+      [&](int lo, int hi) {
     for (int s = lo; s < hi; ++s) {
       Vec3 fwd = fibonacci_direction(s, n_scans);
       Vec3 ref = std::fabs(fwd.y) < 0.99f ? Vec3{0, 1, 0} : Vec3{1, 0, 0};
@@ -371,7 +374,8 @@ void build_scans(const BVH& bvh, DepthScans& scans, int n_scans, int res) {
         }
       }
     }
-  });
+      },
+      /*grain=*/1);
 }
 
 // A point is visible in a scan if nothing renders in front of it near its
@@ -413,9 +417,12 @@ struct Engine {
   DepthScans scans;  // empty until mesh_sdf_build_scans
 };
 
-void parallel_for(int n, const std::function<void(int, int)>& fn) {
+// grain: minimum items per thread. The default (256) suits fine-grained
+// per-point loops; COARSE work items (e.g. the ~50 whole-image depth scans)
+// must pass grain=1 or the n/grain heuristic collapses them to one thread.
+void parallel_for(int n, const std::function<void(int, int)>& fn, int grain) {
   unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-  int n_threads = std::min<int>(hw, std::max(1, n / 256));
+  int n_threads = std::min<int>(hw, std::max(1, n / std::max(1, grain)));
   if (n_threads <= 1) {
     fn(0, n);
     return;

@@ -39,6 +39,13 @@ from shapegan_tpu.ops import sdf_mlp
 
 DEFAULT_TILE = 512
 
+# Row permutation applied to the raw (b2, b3, b4, b6, b7, <pad>, b8, <pad>)
+# bias stack so kernel indices line up with the trunk's layer order: rows
+# 0-2 = b2..b4, 3 = unused slot (symmetry pad), 4-5 = b6, b7, 6 = b8
+# broadcast, 7 = unused. Must match the b_ref indexing in _kernel /
+# _points_trunk / the bwd kernels.
+BIAS_STACK_ORDER = (0, 1, 2, 5, 3, 4, 6, 7)
+
 
 def _kernel(pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref, b_ref, w8row_ref, out_ref):
     """One point-tile program of the fused trunk, batch-STACKED: the whole
@@ -122,7 +129,7 @@ def apply_grid_fused(params, grid_points, latents, tile: int = DEFAULT_TILE,
     ).astype(cd)
     # Reorder so kernel indices line up: rows 0-2 = b2..b4, 3 unused slot for
     # symmetry, 4-5 = b6, b7, 6 = b8 broadcast.
-    b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
+    b_stack = b_stack[jnp.array(BIAS_STACK_ORDER)]
     w8row = params["w8"].astype(cd).T  # [1, 256]
 
     grid = (p_padded // tile,)
@@ -155,6 +162,38 @@ def apply_grid_fused(params, grid_points, latents, tile: int = DEFAULT_TILE,
     return out[:, :p]
 
 
+def _points_trunk(pts, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
+                  w8row_ref):
+    """Pre-tanh head ([T] f32, b8 included) of the latent-folded 8-layer
+    trunk for a [T, 8] compute-dtype point tile with IN-KERNEL fan-in
+    projections. Shared by the single-shape points kernel and the fused
+    trace kernel so the layer sequence and the b_stack row order (see
+    BIAS_STACK_ORDER in _points_operands) live in exactly one place."""
+    f32 = jnp.float32
+    cd = pts.dtype
+    x = jax.nn.relu(
+        jnp.dot(pts, w1p_ref[:, :], preferred_element_type=f32).astype(cd)
+        + zz1_ref[0][None, :]
+    )
+    for layer in range(3):  # w2, w3, w4
+        x = jax.nn.relu(
+            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(cd)
+            + b_ref[layer][None, :]
+        )
+    pp5 = jnp.dot(pts, w5p_ref[:, :], preferred_element_type=f32).astype(cd)
+    x = jax.nn.relu(
+        jnp.dot(x, w_ref[3], preferred_element_type=f32).astype(cd)
+        + pp5 + zz5_ref[0][None, :]
+    )
+    for layer in (4, 5):  # w6, w7
+        x = jax.nn.relu(
+            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(cd)
+            + b_ref[layer][None, :]
+        )
+    head = jnp.sum(x.astype(f32) * w8row_ref[0, :].astype(f32)[None, :], axis=1)
+    return head + b_ref[6, :].astype(f32)[0]
+
+
 def _points_kernel(ptsT_ref, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
                    w8row_ref, out_ref):
     """Single-shape point-tile program with IN-KERNEL fan-in projections.
@@ -169,31 +208,10 @@ def _points_kernel(ptsT_ref, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
     ~8% extra MXU work in exchange for ~16x less HBM traffic per
     evaluation. Measured: 134 -> 210+ M pts/s on the raymarch workload.
     """
-    f32 = jnp.float32
     pts = ptsT_ref[:, :].T  # [T, 8]
-    x = jax.nn.relu(
-        jnp.dot(pts, w1p_ref[:, :], preferred_element_type=f32).astype(pts.dtype)
-        + zz1_ref[0][None, :]
-    )
-    for layer in range(3):  # w2, w3, w4
-        x = jax.nn.relu(
-            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
-            + b_ref[layer][None, :]
-        )
-    pp5 = jnp.dot(pts, w5p_ref[:, :], preferred_element_type=f32).astype(pts.dtype)
-    x = jax.nn.relu(
-        jnp.dot(x, w_ref[3], preferred_element_type=f32).astype(x.dtype)
-        + pp5 + zz5_ref[0][None, :]
-    )
-    for layer in (4, 5):  # w6, w7
-        x = jax.nn.relu(
-            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
-            + b_ref[layer][None, :]
-        )
-    w8row = w8row_ref[0, :].astype(f32)
-    head = jnp.sum(x.astype(f32) * w8row[None, :], axis=1)  # [T]
-    b8 = b_ref[6, :].astype(f32)[0]
-    out_ref[0, :] = jnp.tanh(head + b8).astype(out_ref.dtype)
+    head = _points_trunk(pts, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref,
+                         b_ref, w8row_ref)
+    out_ref[0, :] = jnp.tanh(head).astype(out_ref.dtype)
 
 
 def _points_operands(params, latent, cd):
@@ -221,7 +239,7 @@ def _points_operands(params, latent, cd):
             jnp.zeros_like(params["b2"]),
         ]
     ).astype(cd)
-    b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
+    b_stack = b_stack[jnp.array(BIAS_STACK_ORDER)]
     w8row = params["w8"].astype(cd).T  # [1, 256]
     return zz1, zz5, w1p, w5p, w_stack, b_stack, w8row
 
@@ -314,9 +332,6 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
 
     def kernel(ptsT_ref, dirsT_ref, status_ref, zz1_ref, zz5_ref, w1p_ref,
                w5p_ref, w_ref, b_ref, w8row_ref, out_pts_ref, out_status_ref):
-        f32 = jnp.float32
-        w8row = w8row_ref[0, :].astype(f32)
-        b8 = b_ref[6, :].astype(f32)[0]
         # Transpose the lane state ONCE per tile: carrying [T, 8] through the
         # loop keeps the matmul operand layout-native; a per-iteration
         # [8,T]→[T,8] relayout costs like an extra trunk matmul.
@@ -325,29 +340,9 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
 
         def body(_, carry):
             pts, status = carry  # [T, 8] f32, [1, T] int32
-            ptsc = pts.astype(cd)
-            x = jax.nn.relu(
-                jnp.dot(ptsc, w1p_ref[:, :], preferred_element_type=f32)
-                .astype(cd) + zz1_ref[0][None, :]
-            )
-            for layer in range(3):  # w2, w3, w4
-                x = jax.nn.relu(
-                    jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(cd)
-                    + b_ref[layer][None, :]
-                )
-            pp5 = jnp.dot(ptsc, w5p_ref[:, :],
-                          preferred_element_type=f32).astype(cd)
-            x = jax.nn.relu(
-                jnp.dot(x, w_ref[3], preferred_element_type=f32).astype(cd)
-                + pp5 + zz5_ref[0][None, :]
-            )
-            for layer in (4, 5):  # w6, w7
-                x = jax.nn.relu(
-                    jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(cd)
-                    + b_ref[layer][None, :]
-                )
-            head = jnp.sum(x.astype(f32) * w8row[None, :], axis=1)  # [T]
-            sdf = jnp.clip(jnp.tanh(head + b8) + sdf_offset, -step_clamp, step_clamp)
+            head = _points_trunk(pts.astype(cd), zz1_ref, zz5_ref, w1p_ref,
+                                 w5p_ref, w_ref, b_ref, w8row_ref)
+            sdf = jnp.clip(jnp.tanh(head) + sdf_offset, -step_clamp, step_clamp)
 
             active = status[0] == TRACE_ACTIVE
             pts = pts + dirs * jnp.where(active, sdf, 0.0)[:, None]
@@ -609,7 +604,7 @@ def _trainable_bwd(tile, residuals, g):
          jnp.full((breadth,), params["b8"][0], dtype=params["b2"].dtype),
          jnp.zeros_like(params["b2"])]
     ).astype(cd)
-    b_stack = b_stack[jnp.array([0, 1, 2, 5, 3, 4, 6, 7])]
+    b_stack = b_stack[jnp.array(BIAS_STACK_ORDER)]
     w8row = params["w8"].astype(cd).T  # [1, 256]
     g_padded = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad)))
 

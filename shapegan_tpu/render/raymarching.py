@@ -94,7 +94,16 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
 
     kind: 'primary' rays terminate (miss) outside the bounding sphere;
     'shadow' rays terminate above y=radius."""
-    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best, trace_steps_fused
+
+    # On TPU the whole stage runs as ONE Pallas program: each ray tile stays
+    # resident in VMEM for every iteration of the stage (evaluate, clamp,
+    # advance, hit/miss test in-kernel), so lane-state HBM traffic amortizes
+    # over the stage length instead of being paid per iteration (which held
+    # the per-dispatch trace at ~98 M evals/s vs the kernel's ~158 M pts/s).
+    fused = jax.default_backend() == "tpu" and points.shape[0] >= 2048
+    trace_kw = dict(shadow=kind == "shadow", threshold=threshold,
+                    step_clamp=step_clamp, sdf_offset=sdf_offset, radius=radius)
 
     def make_body(dirs):
         def body(points, status):
@@ -113,10 +122,41 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
         return body
 
     def run_fori(k, points, dirs, status):
+        if k == 0:
+            # Zero-iteration stages exist only to trigger compaction; the
+            # fused kernel would pay a full lane-state HBM round trip to
+            # return its inputs.
+            return points, status
+        if fused:
+            return trace_steps_fused(params, latent, points, dirs, status,
+                                     k=k, **trace_kw)
         body = make_body(dirs)
         return jax.lax.fori_loop(0, k, lambda _, s: body(*s), (points, status))
 
     def run_while(b, points, dirs, status):
+        if fused:
+            # Early-exit at chunk granularity: full in-kernel chunks under a
+            # while_loop, then the static remainder (the any-active test
+            # needs lane state back in HBM, so per-iteration exit would
+            # forfeit the kernel's VMEM residency).
+            chunk = 20
+            full = b // chunk
+
+            def cond(s):
+                return (s[0] < full) & jnp.any(s[2] == _ACTIVE)
+
+            def chunk_body(s):
+                i, pts, st = s
+                pts, st = trace_steps_fused(params, latent, pts, dirs, st,
+                                            k=chunk, **trace_kw)
+                return i + 1, pts, st
+
+            _, points, status = jax.lax.while_loop(
+                cond, chunk_body, (0, points, status))
+            if b % chunk:
+                points, status = trace_steps_fused(
+                    params, latent, points, dirs, status, k=b % chunk, **trace_kw)
+            return points, status
         body = make_body(dirs)
         _, points, status = jax.lax.while_loop(
             lambda s: (s[0] < b) & jnp.any(s[2] == _ACTIVE),
@@ -276,19 +316,47 @@ def get_shadows(net, params, latent_code, points, light_position, threshold: flo
     return hit.astype(np.float32)
 
 
+def _shadow_mask_capacity(camera_position, size, radius=1.0):
+    """Static upper bound on the shadow mask (model hits ∪ ground lanes) for
+    a given camera: lanes that enter the bounding sphere plus lanes pointing
+    below the horizontal (model_mask ⊆ entered; ground ⊆ {dir_y < 0}).
+    Mirrors _render_pixels' ray setup in numpy — everything depends only on
+    (camera, size, radius), so for the fixed-camera render path this is a
+    compile-time constant and the shadow pre-compaction bucket can be sized
+    to never overflow, for ANY latent/shape (an overflowing first bucket
+    mis-shades: overflow lanes are never traced and degrade to shadowed)."""
+    cam = np.asarray(camera_position, np.float64)
+    fwd = -cam / np.linalg.norm(cam)
+    right = np.cross(fwd, [0.0, 1.0, 0.0])
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    up /= np.linalg.norm(up)
+    lin = np.linspace(-1.0, 1.0, size)
+    u, v = np.meshgrid(lin, lin)
+    uv = np.stack([u.ravel(), v.ravel()], axis=1)
+    focal = 1.0 / np.tan(np.arcsin(radius / np.linalg.norm(cam)))
+    dirs = uv[:, :1] * right + uv[:, 1:] * up + focal * fwd
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    b = 2.0 * dirs @ cam
+    disc = b * b - 4.0 * (cam @ cam - radius * radius)
+    count = int(np.count_nonzero((disc >= 0) | (dirs[:, 1] < 0)))
+    return min(-(-count // 512) * 512, size * size)
+
+
 def _shadow_factor(params, latent, points, mask, light_position, threshold,
-                   sdf_offset, radius):
+                   sdf_offset, radius, first_bucket=None):
     """On-device shadow test for the masked lanes: 1.0 where the 200-step ray
     toward the light re-hits the shape (or is still active — reference :122).
 
     The masked lanes are PRE-compacted into a 3n/4 bucket (a zero-iteration
-    first schedule stage) before any tracing. Measured on the chair frame:
-    the shadow mask (model hits ∪ lit ground) covers 0.672n at the fixed
-    reference camera — an earlier n/2 bucket overflowed ~0.17n lanes into
-    the conservative shadowed fallback, which rendered as a flat gray band
-    across the lower frame. Lanes beyond 3n/4 (extreme close-ups) still
-    degrade to shadowed, the same degradation budget exhaustion has
-    (reference :122). The later buckets follow the measured decay at clamp
+    first schedule stage) before any tracing. ``first_bucket`` is the static
+    geometric capacity of the mask (see _shadow_mask_capacity — ~0.89n at
+    the reference camera; the chair frame fills 0.672n of it): an earlier
+    n/2 bucket overflowed ~0.17n lanes into the conservative shadowed
+    fallback, which rendered as a flat gray band across the lower frame,
+    and any measured-fill bucket (e.g. 3n/4) re-introduces that artifact
+    for shapes larger than the one measured. With the geometric bound the
+    first stage can never overflow. The later buckets follow the measured decay at clamp
     0.1 — active 0.53n @10, 0.38n @20, then a cliff to 0.015n @30 and a
     0.006n plateau — with 1.3-4x headroom (generous around the cliff,
     whose onset iteration is shape-dependent): ~22n evaluations per frame
@@ -298,8 +366,9 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     directions = directions / jnp.linalg.norm(directions, axis=1, keepdims=True)
     start = points + directions * 0.1
     status = jnp.where(mask, _ACTIVE, _MISS)
+    cap = n if first_bucket is None else min(first_bucket, n)
     schedule = () if n <= 2048 else (
-        (0, -(-n * 3 // 4)),
+        (0, cap),
         (20, -(-n // 2)),
         (10, -(-n // 16)),
         (10, -(-n // 64)),
@@ -355,12 +424,13 @@ def _lanczos3_downsample(image, factor: int):
     jax.jit,
     static_argnames=(
         "size", "iterations", "threshold", "sdf_offset", "radius",
-        "vertical_cutoff", "color", "ssaa",
+        "vertical_cutoff", "color", "ssaa", "shadow_bucket",
     ),
 )
 def _render_pixels(params, latent, camera_position, camera_right, camera_up,
                    camera_forward, light_position, *, size, iterations, threshold,
-                   sdf_offset, radius, vertical_cutoff, color, ssaa=1):
+                   sdf_offset, radius, vertical_cutoff, color, ssaa=1,
+                   shadow_bucket=None):
     """One frame, fully on device: returns [size/ssaa, size/ssaa, 3] uint8
     pixels (the SSAA downsample also runs on device)."""
     from shapegan_tpu.ops import sdf_mlp
@@ -435,7 +505,7 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     )
     shadow = _shadow_factor(
         params, latent, shadow_points, shadow_mask, light_position,
-        0.001, sdf_offset, radius,
+        0.001, sdf_offset, radius, first_bucket=shadow_bucket,
     )
     seen_by_light = 1.0 - shadow
 
@@ -513,6 +583,7 @@ def render_image(
             vertical_cutoff=vertical_cutoff,
             color=tuple(color),
             ssaa=ssaa,
+            shadow_bucket=_shadow_mask_capacity(camera_position, size, radius),
         )
     )
 
@@ -522,7 +593,14 @@ def render_image(
         pixels = crop_image(pixels / 255.0, background=1)
         pixels = np.uint8(np.round(pixels * 255.0))
 
-    return Image.fromarray(pixels, "RGB")
+    image = Image.fromarray(pixels, "RGB")
+    if crop and ssaa != 1:
+        # Parity with the reference flow (crop at SSAA size, then resize to
+        # resolution² — raymarching.py:170-177): with ssaa != 1 the output is
+        # always (resolution, resolution); with ssaa == 1 the reference skips
+        # the resize and returns the cropped size, and so do we.
+        image = image.resize((resolution, resolution), Image.LANCZOS)
+    return image
 
 
 def render_image_for_index(net, params, latent_codes, index: int, crop: bool = False,

@@ -90,3 +90,23 @@ def test_batch_loader_tuple_collation():
     loader = BatchLoader(PairDataset(), batch_size=3, shuffle=False)
     a, b = next(iter(loader))
     assert a.shape == (3, 2) and b.shape == (3, 3)
+
+
+def test_batch_loader_auto_advances_epoch_without_set_epoch():
+    """A consumer that never calls set_epoch must still get a fresh
+    (seed, epoch, idx) subsample draw each pass — not the same fixed
+    num_points subset of every shape forever. Pinned epochs (set_epoch)
+    still reproduce exactly."""
+    from shapegan_tpu.data.synthetic import SyntheticPointDataset
+
+    ds = SyntheticPointDataset(2, pool_size=512, num_points=16, seed=0)
+    loader = BatchLoader(ds, 2, shuffle=False, seed=0)
+    first = [np.copy(b[0]) for b in loader]
+    second = [np.copy(b[0]) for b in loader]
+    assert not np.array_equal(first[0], second[0])
+
+    loader.set_epoch(5)
+    a = [np.copy(b[0]) for b in loader]
+    loader.set_epoch(5)
+    b = [np.copy(b[0]) for b in loader]
+    np.testing.assert_array_equal(a[0], b[0])

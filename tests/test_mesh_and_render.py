@@ -252,3 +252,20 @@ def test_get_voxels_and_surface_points():
 
     pts = net.get_surface_points(params, code, sample_size=2048, key=jax.random.PRNGKey(1))
     assert pts.ndim == 2 and pts.shape[1] == 3
+
+
+def test_shadow_mask_capacity_exceeds_measured_fill():
+    """The shadow pre-compaction bucket must be the GEOMETRIC capacity of
+    the mask (entered-disc ∪ below-horizontal), not a measured fill: a
+    shape filling the bounding sphere pushes the mask to ~0.89n at the
+    reference camera, over the 3n/4 a chair-measured bucket allowed, and
+    overflow lanes are never traced (they degrade to shadowed — the gray
+    band regression)."""
+    from shapegan_tpu.render.raymarching import CAMERA_POSITION, _shadow_mask_capacity
+
+    size = 96
+    n = size * size
+    cap = _shadow_mask_capacity(CAMERA_POSITION, size)
+    assert 3 * n // 4 < cap <= n, cap
+    # 512-lane rounding keeps the jit cache small and the tiles MXU-friendly
+    assert cap % 512 == 0 or cap == n

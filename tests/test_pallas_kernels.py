@@ -189,3 +189,30 @@ def test_trace_steps_fused_shadow_bf16_interpreted():
     # Pre-resolved lanes must not move.
     np.testing.assert_allclose(np.asarray(out_pts)[[5, 11]],
                                np.asarray(pts)[[5, 11]], atol=1e-6)
+
+
+def test_trace_staged_fused_wiring_interpreted():
+    """The raymarcher's fused-gate wiring end-to-end: _trace_staged with the
+    TPU gate forced on (schedule stage -> compaction -> chunked while tail,
+    all through trace_steps_fused) tracks the per-dispatch path's statuses.
+    Guards the gate plumbing, not just the kernel."""
+    import unittest.mock as mock
+
+    from shapegan_tpu.render import raymarching as rm
+
+    params, lat, pts, dirs, status = _trace_fixture(n=4096, seed=9)
+    args = ("primary", params, lat, pts, dirs, status, 51,
+            0.005, 0.02, 0.0, 1.0, ((6, 2048),))
+
+    with pltpu.force_tpu_interpret_mode():
+        ref_pts, ref_status = rm._trace_staged(*args)  # gate off on CPU
+        with mock.patch.object(jax, "default_backend", return_value="tpu"):
+            out_pts, out_status = rm._trace_staged(*args)
+
+    ref_status, out_status = np.asarray(ref_status), np.asarray(out_status)
+    assert (ref_status != 0).mean() > 0.5  # the fixture must actually resolve
+    agree = np.mean(out_status == ref_status)
+    assert agree > 0.97, agree
+    hit_both = (out_status == 1) & (ref_status == 1)
+    np.testing.assert_allclose(np.asarray(out_pts)[hit_both],
+                               np.asarray(ref_pts)[hit_both], atol=0.02)
