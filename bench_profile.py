@@ -10,6 +10,8 @@ jitted lax.scan (tunnel-latency-free; same methodology as bench.py).
 
 Usage: python bench_profile.py [iteration=N] [batch=N] [reps=N]
        python bench_profile.py raymarch=1 [resolution=N]   # live-lane decay
+       python bench_profile.py stages=1                    # raymarch stage budget
+       python bench_profile.py autodecoder=1 [reps=N]      # autodecoder step breakdown
 
 Reference workload being decomposed:
 /root/reference/train_hybrid_progressive_gan.py:102-111 (GP), :135-149 (G
@@ -39,7 +41,7 @@ from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inf
 
 def parse_args(argv):
     opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400,
-            "stages": 0}
+            "stages": 0, "autodecoder": 0}
     for arg in argv:
         if "=" in arg:
             k, v = arg.split("=", 1)
@@ -253,8 +255,124 @@ def _dispatch():
         raymarch_decay(resolution=opts["resolution"])
     elif opts["stages"]:
         raymarch_stage_budget()
+    elif opts["autodecoder"]:
+        autodecoder_breakdown(reps=opts["reps"])
     else:
         main()
+
+
+def autodecoder_breakdown(model_count=8, pc_size=25000, batch=20000, reps=25):
+    """Where the DeepSDF autodecoder step goes (bench.py config 3 workload:
+    batch 20k points, both Adams, latent L2 reg). Evolving-chain ablations —
+    params/codes ride the scan carry so XLA cannot hoist or CSE any stage
+    across iterations (same pitfall as the progressive-step decomposition).
+
+    Rows: full step (ours) / no-optimizer (tiny-SGD chain keeps seriality) /
+    fwd-only / remat fwd+bwd (isolates stored-activation HBM traffic) /
+    reference fp32 full step. Decides whether a fused custom-VJP points
+    kernel (in-kernel recompute, per-point latents) is worth building."""
+    import optax
+
+    from bench import _timed_state_scan
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.train import sdf_autodecoder as ad
+
+    print(f"# autodecoder step breakdown @ batch {batch}, {model_count} shapes x "
+          f"{pc_size} pts, {reps} reps, backend={jax.default_backend()}")
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.uniform(-1, 1, (model_count * pc_size, 3)).astype(np.float32))
+    sdf = jnp.asarray(np.clip(rng.normal(0, 0.05, model_count * pc_size), -0.1, 0.1)
+                      .astype(np.float32))
+    net = SDFNet()
+    net_tx, code_tx = optax.adam(1e-5), optax.adam(1e-5)
+    params = net.init(jax.random.PRNGKey(0))
+    codes = jax.random.normal(jax.random.PRNGKey(1), (model_count, 128)) * 1e-4
+    batches = jnp.asarray(rng.integers(0, model_count * pc_size, (reps, batch)), jnp.int32)
+
+    def batch_of(i):
+        return batches[i % reps]
+
+    def make_loss(indices, dtype):
+        shape_indices = indices // pc_size
+        bp, bs = points[indices], sdf[indices]
+
+        def loss_fn(p, c):
+            bc = c[shape_indices]
+            out = net.apply(p, bp, bc, dtype=dtype)
+            return jnp.mean(jnp.abs(out - bs)) + ad.SIGMA * jnp.mean(bc**2)
+
+        return loss_fn
+
+    rows = []
+
+    def row(name, t):
+        rows.append((name, t))
+        print(f"{name:<38s} {t * 1e6:9.1f} us -> {1.0 / t:8.1f} steps/s")
+
+    # Full production step (gather + bf16 MLP + both Adams).
+    step_fn, _ = ad.make_train_step(net, net_tx, code_tx, pc_size)
+
+    def full_step(carry, i):
+        p, c, no, co = carry
+        p, c, no, co, _ = step_fn(p, c, no, co, points, sdf, batch_of(i))
+        return p, c, no, co
+
+    state4 = (params, codes, net_tx.init(params), code_tx.init(codes))
+    row("full step (ours, bf16)", _timed_state_scan(full_step, state4, reps))
+
+    # No optimizer: grads applied as a tiny SGD so the chain stays serial
+    # but Adam's moment read/write traffic is ablated.
+    def grad_step(carry, i):
+        p, c = carry
+        ng, cg = jax.grad(make_loss(batch_of(i), ad.COMPUTE_DTYPE), argnums=(0, 1))(p, c)
+        p = jax.tree.map(lambda a, g: a - 1e-9 * g, p, ng)
+        c = c - 1e-9 * cg
+        return p, c
+
+    row("fwd+bwd only (SGD-eps chain)", _timed_state_scan(grad_step, (params, codes), reps))
+
+    # Remat: recompute activations in the backward instead of storing them —
+    # approximates what the fused custom-VJP kernel buys on HBM traffic.
+    def remat_grad_step(carry, i):
+        p, c = carry
+        loss_fn = make_loss(batch_of(i), ad.COMPUTE_DTYPE)
+        ng, cg = jax.grad(jax.checkpoint(loss_fn), argnums=(0, 1))(p, c)
+        p = jax.tree.map(lambda a, g: a - 1e-9 * g, p, ng)
+        c = c - 1e-9 * cg
+        return p, c
+
+    row("fwd+bwd remat (SGD-eps chain)",
+        _timed_state_scan(remat_grad_step, (params, codes), reps))
+
+    # Forward only.
+    def fwd_step(carry, i):
+        p, c = carry
+        loss = make_loss(batch_of(i), ad.COMPUTE_DTYPE)(p, c)
+        return p, c + loss * 1e-12
+
+    row("fwd only (loss chain)", _timed_state_scan(fwd_step, (params, codes), reps))
+
+    # Reference formulation: fp32 concat MLP, same gather + optimizers.
+    def ref_step(carry, i):
+        p, c, no, co = carry
+        ng, cg = jax.grad(make_loss(batch_of(i), jnp.float32), argnums=(0, 1))(p, c)
+        upd, no = net_tx.update(ng, no, p)
+        p = optax.apply_updates(p, upd)
+        cupd, co = code_tx.update(cg, co, c)
+        c = optax.apply_updates(c, cupd)
+        return p, c, no, co
+
+    row("full step (reference fp32)", _timed_state_scan(ref_step, state4, reps))
+
+    t = dict(rows)
+    full = t["full step (ours, bf16)"]
+    fb = t["fwd+bwd only (SGD-eps chain)"]
+    print(f"{'  - optimizer traffic (ablated)':<38s} {(full - fb) * 1e6:9.1f} us")
+    print(f"{'  - bwd cost (fwd+bwd - fwd)':<38s} "
+          f"{(fb - t['fwd only (loss chain)']) * 1e6:9.1f} us")
+    print(f"{'  - remat delta (store - recompute)':<38s} "
+          f"{(fb - t['fwd+bwd remat (SGD-eps chain)']) * 1e6:9.1f} us")
 
 
 def raymarch_decay(resolution=400, iterations=500):
