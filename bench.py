@@ -383,8 +383,11 @@ def bench_autodecoder():
 
     def step(carry, i):
         params, codes, net_opt, code_opt = carry
+        # Modulo: the 4x-long timing scan must cycle fresh index sets, not
+        # clamp to the last row (bench_profile.autodecoder_breakdown does the
+        # same).
         params, codes, net_opt, code_opt, _ = step_fn(
-            params, codes, net_opt, code_opt, points, sdf, batches[i]
+            params, codes, net_opt, code_opt, points, sdf, batches[i % GAN_STEPS]
         )
         return (params, codes, net_opt, code_opt)
 
@@ -394,7 +397,7 @@ def bench_autodecoder():
     # Reference formulation: per-point latent row gather + fp32 concat MLP.
     def ref_step(carry, i):
         params, codes, net_opt, code_opt = carry
-        indices = batches[i]
+        indices = batches[i % GAN_STEPS]
         shape_indices = indices // pc_size
 
         def loss_fn(p, c):

@@ -91,6 +91,7 @@ class MeshSDF:
         self.scan_resolution = scan_resolution
         self._handle = None
         self._numpy_scans = None
+        self._scans_built = False
         lib = _load_native() if use_native else None
         if lib is not None and len(mesh.faces) > 0:
             vertices = np.ascontiguousarray(mesh.vertices, dtype=np.float32)
@@ -102,10 +103,22 @@ class MeshSDF:
             )
             # keep buffers alive for the handle's lifetime
             self._buffers = (vertices, faces)
-            if sign_method == "scan":
-                lib.mesh_sdf_build_scans(self._handle, scan_count, scan_resolution)
-        elif sign_method == "scan" and len(mesh.faces) > 0:
-            self._numpy_scans = _numpy_build_scans(mesh, scan_count, scan_resolution)
+
+    def _ensure_scans(self) -> None:
+        """Build the depth scans on the first scan-signed query (lazy: a
+        scan_count×res² z-buffer stack costs ~200 MB and real rasterization
+        time, and unsigned / parity-signed queries never touch it)."""
+        if self._scans_built or len(self.mesh.faces) == 0:
+            return
+        if self._handle is not None:
+            self._lib.mesh_sdf_build_scans(
+                self._handle, self.scan_count, self.scan_resolution
+            )
+        else:
+            self._numpy_scans = _numpy_build_scans(
+                self.mesh, self.scan_count, self.scan_resolution
+            )
+        self._scans_built = True
 
     def __del__(self):
         if self._handle is not None:
@@ -116,6 +129,8 @@ class MeshSDF:
 
     def query(self, points: np.ndarray, signed: bool = True) -> np.ndarray:
         points = np.ascontiguousarray(points, dtype=np.float32).reshape(-1, 3)
+        if signed and self.sign_method == "scan":
+            self._ensure_scans()
         if self._handle is not None:
             out = np.empty(points.shape[0], dtype=np.float32)
             if not signed:

@@ -327,7 +327,9 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
       sdf   = clip(tanh(MLP(p)) + offset, ±step_clamp)   (pre-advance point)
       p    += dir * where(active, sdf, 0)
       hit   = active & (sdf > 0) & (sdf < threshold)
-      miss  = active & (p outside: |p| > radius, or p_y > radius for shadow)
+      miss  = active & (p outside: |p| > radius, or p_y > its escape height
+              for shadow — per-lane heights ride in points row 3, see
+              trace_steps_fused)
     """
 
     def kernel(ptsT_ref, dirsT_ref, status_ref, zz1_ref, zz5_ref, w1p_ref,
@@ -335,8 +337,8 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
         # Transpose the lane state ONCE per tile: carrying [T, 8] through the
         # loop keeps the matmul operand layout-native; a per-iteration
         # [8,T]→[T,8] relayout costs like an extra trunk matmul.
-        pts0 = ptsT_ref[:, :].T  # [T, 8] f32 (cols 3-7 zero)
-        dirs = dirsT_ref[:, :].T  # [T, 8]
+        pts0 = ptsT_ref[:, :].T  # [T, 8] f32 (cols 4-7 zero; col 3 = shadow
+        dirs = dirsT_ref[:, :].T  # [T, 8]    escape height, else zero)
 
         def body(_, carry):
             pts, status = carry  # [T, 8] f32, [1, T] int32
@@ -348,7 +350,10 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
             pts = pts + dirs * jnp.where(active, sdf, 0.0)[:, None]
             hits = active & (sdf > 0) & (sdf < threshold)
             if shadow:
-                outside = pts[:, 1] > radius
+                # Per-lane escape height in col 3: constant through the loop
+                # (dirs col 3 is zero) and invisible to the MLP (w1p/w5p
+                # rows 3-7 are zero).
+                outside = pts[:, 1] > pts[:, 3]
             else:
                 outside = jnp.sum(pts * pts, axis=1) > radius * radius
             misses = active & outside
@@ -371,12 +376,14 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
 def trace_steps_fused(params, latent, points, directions, status, *, k: int,
                       shadow: bool, threshold: float, step_clamp: float,
                       sdf_offset: float, radius: float, tile: int = 2048,
-                      compute_dtype=jnp.bfloat16):
+                      compute_dtype=jnp.bfloat16, escape=None):
     """Run ``k`` masked sphere-trace iterations fully in-kernel.
 
     points/directions [N, 3] fp32, status [N] int32 (0 active / 1 hit /
     2 miss). Returns (points, status) after k iterations. The latent (if any)
-    is folded into the bias rows, so the in-kernel MLP is latent-free."""
+    is folded into the bias rows, so the in-kernel MLP is latent-free.
+    ``escape`` [N] gives shadow lanes per-lane escape heights (default: the
+    scalar ``radius`` for every lane); ignored for primary traces."""
     if latent.shape[0]:
         params = sdf_mlp.fold_latent(params, latent)
         latent = latent[:0]
@@ -386,6 +393,12 @@ def trace_steps_fused(params, latent, points, directions, status, *, k: int,
     pad = (-n) % tile
     f32 = jnp.float32
     ptsT = jnp.zeros((8, n + pad), f32).at[:3, :n].set(points.T.astype(f32))
+    if shadow:
+        # Shadow escape heights ride in row 3 (see _make_trace_kernel);
+        # padded lanes keep 0.0, which is inert — their status is MISS.
+        esc = jnp.broadcast_to(jnp.float32(radius), (n,)) if escape is None \
+            else escape.astype(f32)
+        ptsT = ptsT.at[3, :n].set(esc)
     dirsT = jnp.zeros((8, n + pad), f32).at[:3, :n].set(directions.T.astype(f32))
     status_p = jnp.full((1, n + pad), TRACE_MISS, jnp.int32).at[0, :n].set(status)
 

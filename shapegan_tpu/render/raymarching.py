@@ -85,7 +85,7 @@ _ACTIVE, _HIT, _MISS = 0, 1, 2
 
 def _trace_staged(kind, params, latent, points, directions, status, budget,
                   threshold, step_clamp, sdf_offset, radius, schedule,
-                  tail_cap=None):
+                  tail_cap=None, escape=None):
     """Trace rays to completion on device. ``schedule`` is a static tuple of
     (iterations, bucket_size): after each stage's masked iterations the
     surviving ACTIVE lanes are compacted into a ``bucket_size`` bucket; the
@@ -93,7 +93,11 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     given (the oscillator cap — see TAIL_ITERS). Returns (points, status).
 
     kind: 'primary' rays terminate (miss) outside the bounding sphere;
-    'shadow' rays terminate above y=radius."""
+    'shadow' rays terminate above y=radius — or above the per-lane height
+    ``escape`` [n] when given (the merged in-frame shadow pass escapes model
+    lanes at the caller's radius but ground lanes at 1.0, matching the
+    reference's two get_shadows calls: raymarching.py:134 passes
+    radius=radius, :165 leaves the 1.0 default)."""
     from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best, trace_steps_fused
 
     # On TPU the whole stage runs as ONE Pallas program: each ray tile stays
@@ -105,7 +109,7 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     trace_kw = dict(shadow=kind == "shadow", threshold=threshold,
                     step_clamp=step_clamp, sdf_offset=sdf_offset, radius=radius)
 
-    def make_body(dirs):
+    def make_body(dirs, esc):
         def body(points, status):
             active = status == _ACTIVE
             sdf = apply_grid_best(params, points, latent[None, :])[0] + sdf_offset
@@ -113,7 +117,7 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
             points = points + dirs * jnp.where(active, sdf, 0.0)[:, None]
             hits = active & (sdf > 0) & (sdf < threshold)
             if kind == "shadow":
-                misses = active & (points[:, 1] > radius)
+                misses = active & (points[:, 1] > (radius if esc is None else esc))
             else:
                 misses = active & (jnp.linalg.norm(points, axis=1) > radius)
             status = jnp.where(hits, _HIT, jnp.where(misses, _MISS, status))
@@ -121,7 +125,7 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
 
         return body
 
-    def run_fori(k, points, dirs, status):
+    def run_fori(k, points, dirs, status, esc):
         if k == 0:
             # Zero-iteration stages exist only to trigger compaction; the
             # fused kernel would pay a full lane-state HBM round trip to
@@ -129,11 +133,11 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
             return points, status
         if fused:
             return trace_steps_fused(params, latent, points, dirs, status,
-                                     k=k, **trace_kw)
-        body = make_body(dirs)
+                                     k=k, escape=esc, **trace_kw)
+        body = make_body(dirs, esc)
         return jax.lax.fori_loop(0, k, lambda _, s: body(*s), (points, status))
 
-    def run_while(b, points, dirs, status):
+    def run_while(b, points, dirs, status, esc):
         if fused:
             # Early-exit at chunk granularity: full in-kernel chunks under a
             # while_loop, then the static remainder (the any-active test
@@ -148,16 +152,17 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
             def chunk_body(s):
                 i, pts, st = s
                 pts, st = trace_steps_fused(params, latent, pts, dirs, st,
-                                            k=chunk, **trace_kw)
+                                            k=chunk, escape=esc, **trace_kw)
                 return i + 1, pts, st
 
             _, points, status = jax.lax.while_loop(
                 cond, chunk_body, (0, points, status))
             if b % chunk:
                 points, status = trace_steps_fused(
-                    params, latent, points, dirs, status, k=b % chunk, **trace_kw)
+                    params, latent, points, dirs, status, k=b % chunk,
+                    escape=esc, **trace_kw)
             return points, status
-        body = make_body(dirs)
+        body = make_body(dirs, esc)
         _, points, status = jax.lax.while_loop(
             lambda s: (s[0] < b) & jnp.any(s[2] == _ACTIVE),
             lambda s: (s[0] + 1,) + body(s[1], s[2]),
@@ -170,11 +175,11 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     if not schedule:
         if tail_cap is not None:
             budget = min(budget, tail_cap)
-        return run_while(budget, points, directions, status)
+        return run_while(budget, points, directions, status, escape)
 
     (k, size), rest = schedule[0], schedule[1:]
     k = min(k, budget)
-    points, status = run_fori(k, points, directions, status)
+    points, status = run_fori(k, points, directions, status, escape)
     budget -= k
     if budget <= 0:
         return points, status
@@ -184,7 +189,7 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     if size >= n:
         return _trace_staged(kind, params, latent, points, directions, status,
                              budget, threshold, step_clamp, sdf_offset, radius, rest,
-                             tail_cap)
+                             tail_cap, escape)
 
     # Compact ACTIVE lanes into the static bucket. Overflow lanes (rare
     # grazers beyond `size`) keep riding as ACTIVE in the source arrays and
@@ -193,10 +198,13 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     pts_c = jnp.take(points, idx, axis=0, mode="fill", fill_value=2.0 * radius + 1.0)
     dirs_c = jnp.take(directions, idx, axis=0, mode="fill", fill_value=0.0)
     status_c = jnp.where(idx < n, _ACTIVE, _MISS)
+    esc_c = None if escape is None else jnp.take(
+        escape, idx, mode="fill", fill_value=radius
+    )
 
     pts_c, status_c = _trace_staged(kind, params, latent, pts_c, dirs_c, status_c,
                                     budget, threshold, step_clamp, sdf_offset, radius, rest,
-                                    tail_cap)
+                                    tail_cap, esc_c)
 
     # Fill lanes carry idx == n and are dropped by the scatter.
     return (
@@ -239,10 +247,13 @@ def _trace_rays(kind, params, latent, points, directions, iterations, threshold,
     """Standalone single-dispatch trace over explicit rays (all start ACTIVE)."""
     status = jnp.zeros(points.shape[0], dtype=jnp.int32)
     schedule = _default_schedule(kind, points.shape[0], iterations)
+    # The oscillator tail cap is measured (and only justified) for the
+    # primary trace; shadow traces keep the reference's full budget —
+    # get_shadows parity means exactly 200 iterations (raymarching.py:47).
     return _trace_staged(
         kind, params, latent, points, directions, status, iterations,
         threshold, step_clamp, sdf_offset, radius, schedule,
-        tail_cap=TAIL_ITERS if schedule else None,
+        tail_cap=TAIL_ITERS if schedule and kind == "primary" else None,
     )
 
 
@@ -326,6 +337,15 @@ def _shadow_mask_capacity(camera_position, size, radius=1.0):
     to never overflow, for ANY latent/shape (an overflowing first bucket
     mis-shades: overflow lanes are never traced and degrade to shadowed)."""
     cam = np.asarray(camera_position, np.float64)
+    return _shadow_mask_capacity_cached(tuple(cam.tolist()), int(size), float(radius))
+
+
+@functools.lru_cache(maxsize=64)
+def _shadow_mask_capacity_cached(camera_position, size, radius):
+    # The size²-ray numpy pipeline below costs ~100 ms and ~200 MB of
+    # temporaries at 1600² — cache per (camera, size, radius) so repeated
+    # frames (animations, figure grids) pay it once.
+    cam = np.asarray(camera_position, np.float64)
     fwd = -cam / np.linalg.norm(cam)
     right = np.cross(fwd, [0.0, 1.0, 0.0])
     right /= np.linalg.norm(right)
@@ -344,9 +364,12 @@ def _shadow_mask_capacity(camera_position, size, radius=1.0):
 
 
 def _shadow_factor(params, latent, points, mask, light_position, threshold,
-                   sdf_offset, radius, first_bucket=None):
+                   sdf_offset, radius, first_bucket=None, escape=None):
     """On-device shadow test for the masked lanes: 1.0 where the 200-step ray
     toward the light re-hits the shape (or is still active — reference :122).
+    ``escape`` [n] gives each lane its own escape height (model lanes use the
+    caller's radius, ground lanes 1.0 — the reference's get_shadows defaults,
+    raymarching.py:134,165); scalar ``radius`` is the fallback.
 
     The masked lanes are PRE-compacted into a 3n/4 bucket (a zero-iteration
     first schedule stage) before any tracing. ``first_bucket`` is the static
@@ -376,7 +399,7 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     _, status = _trace_staged(
         "shadow", params, latent, start, directions, status, 200,
         threshold, 0.1, sdf_offset, radius, schedule,
-        tail_cap=TAIL_ITERS if schedule else None,
+        tail_cap=None, escape=escape,
     )
     return ((status == _HIT) | (status == _ACTIVE)).astype(jnp.float32)
 
@@ -486,9 +509,11 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     # Ground-plane intersection points (reference :156-167), computed up
     # front so model-surface and ground shadow rays run as ONE combined
     # trace: the two lane sets are disjoint per pixel, so merging halves the
-    # shadow passes' width-proportional cost. (The reference's get_shadows
-    # uses the unit bounding sphere for both; `radius` here is 1.0 in every
-    # caller.)
+    # shadow passes' width-proportional cost. The escape heights differ per
+    # lane set — the reference's model-shadow call passes radius=radius
+    # (:134) while its ground-shadow call keeps get_shadows' 1.0 default
+    # (:165); hybrid figures render with radius=1.6 (create_plot.py), so the
+    # merged trace carries a per-lane escape height.
     ground_plane = jnp.min(jnp.where(model_mask, points[:, 1], jnp.inf))
     ground = (ray_directions[:, 1] < 0) & ~model_mask & any_hit
     t = (points[:, 1] - ground_plane) / jnp.where(
@@ -503,9 +528,16 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
         model_mask[:, None], points,
         jnp.where(ground[:, None], g_pts, 2.0 + radius),
     )
+    # radius is jit-static: at the default 1.0 both lane sets share the
+    # scalar escape and the per-lane array (an extra kernel operand) is
+    # skipped entirely.
+    shadow_escape = None if radius == 1.0 else jnp.where(
+        model_mask, jnp.float32(radius), jnp.float32(1.0)
+    )
     shadow = _shadow_factor(
         params, latent, shadow_points, shadow_mask, light_position,
         0.001, sdf_offset, radius, first_bucket=shadow_bucket,
+        escape=shadow_escape,
     )
     seen_by_light = 1.0 - shadow
 
@@ -566,6 +598,13 @@ def render_image(
     camera_up /= np.linalg.norm(camera_up)
 
     size = resolution * ssaa
+    # Reference order (raymarching.py:170-177): crop happens at the SSAA
+    # frame size and only THEN the image is resized to resolution² — so with
+    # crop the on-device downsample must be skipped (downsampling first,
+    # cropping a sub-resolution region, and upscaling back would lose the
+    # SSAA frame's detail). Without crop the device Lanczos downsample is
+    # the same computation with only the final resolution² crossing the link.
+    device_ssaa = 1 if (crop and ssaa != 1) else ssaa
     pixels = np.asarray(
         _render_pixels(
             params,
@@ -582,7 +621,7 @@ def render_image(
             radius=radius,
             vertical_cutoff=vertical_cutoff,
             color=tuple(color),
-            ssaa=ssaa,
+            ssaa=device_ssaa,
             shadow_bucket=_shadow_mask_capacity(camera_position, size, radius),
         )
     )
@@ -595,10 +634,9 @@ def render_image(
 
     image = Image.fromarray(pixels, "RGB")
     if crop and ssaa != 1:
-        # Parity with the reference flow (crop at SSAA size, then resize to
-        # resolution² — raymarching.py:170-177): with ssaa != 1 the output is
-        # always (resolution, resolution); with ssaa == 1 the reference skips
-        # the resize and returns the cropped size, and so do we.
+        # The cropped SSAA-size region downsamples to resolution²; with
+        # ssaa == 1 the reference skips the resize and returns the cropped
+        # size, and so do we.
         image = image.resize((resolution, resolution), Image.LANCZOS)
     return image
 

@@ -269,3 +269,48 @@ def test_shadow_mask_capacity_exceeds_measured_fill():
     assert 3 * n // 4 < cap <= n, cap
     # 512-lane rounding keeps the jit cache small and the tiles MXU-friendly
     assert cap % 512 == 0 or cap == n
+
+
+def test_render_image_crop_skips_device_downsample(monkeypatch):
+    """Reference order (raymarching.py:170-177): crop happens at the SSAA
+    frame size, THEN the image resizes to resolution². With crop=True the
+    device downsample must therefore be skipped (ssaa=1 reaches
+    _render_pixels) and the final image still comes out resolution²."""
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.render import raymarching as rm
+
+    seen = {}
+
+    def fake_render_pixels(*args, **kwargs):
+        seen.update(kwargs)
+        size = kwargs["size"] // kwargs["ssaa"]
+        frame = np.full((size, size, 3), 255, np.uint8)
+        # a small dark square so crop_image has content to find
+        frame[size // 4 : size // 2, size // 4 : size // 2] = 10
+        return frame
+
+    monkeypatch.setattr(rm, "_render_pixels", fake_render_pixels)
+    net = SDFNet()
+    params = net.init(jax.random.PRNGKey(0))
+    code = np.zeros(128, np.float32)
+
+    img = rm.render_image(net, params, code, resolution=32, ssaa=2, crop=True,
+                          iterations=8)
+    assert seen["ssaa"] == 1 and seen["size"] == 64  # full SSAA frame kept
+    assert img.size == (32, 32)  # cropped region resized to resolution²
+
+    seen.clear()
+    img = rm.render_image(net, params, code, resolution=32, ssaa=2, crop=False,
+                          iterations=8)
+    assert seen["ssaa"] == 2  # no crop: downsample on device as before
+    assert img.size == (32, 32)
+
+
+def test_shadow_mask_capacity_cached():
+    from shapegan_tpu.render import raymarching as rm
+
+    rm._shadow_mask_capacity_cached.cache_clear()
+    a = rm._shadow_mask_capacity(rm.CAMERA_POSITION, 64)
+    b = rm._shadow_mask_capacity(rm.CAMERA_POSITION, 64)
+    assert a == b
+    assert rm._shadow_mask_capacity_cached.cache_info().hits >= 1

@@ -110,11 +110,12 @@ def test_fused_vjp_multitile_interpreted():
 
 
 def _reference_trace(params, lat, pts, dirs, status, k, *, shadow, threshold,
-                     step_clamp, sdf_offset, radius, dtype):
+                     step_clamp, sdf_offset, radius, dtype, escape=None):
     """Per-iteration host loop with the raymarcher's per-dispatch body math
     (render/raymarching.py:_trace_staged make_body)."""
     pts, status = np.asarray(pts, np.float32).copy(), np.asarray(status).copy()
     dirs = np.asarray(dirs, np.float32)
+    lim = radius if escape is None else np.asarray(escape, np.float32)
     for _ in range(k):
         active = status == 0
         sdf = np.asarray(
@@ -124,7 +125,7 @@ def _reference_trace(params, lat, pts, dirs, status, k, *, shadow, threshold,
         pts = pts + dirs * np.where(active, sdf, 0.0)[:, None]
         hits = active & (sdf > 0) & (sdf < threshold)
         if shadow:
-            misses = active & (pts[:, 1] > radius)
+            misses = active & (pts[:, 1] > lim)
         else:
             misses = active & (np.linalg.norm(pts, axis=1) > radius)
         status = np.where(hits, 1, np.where(misses, 2, status))
@@ -189,6 +190,83 @@ def test_trace_steps_fused_shadow_bf16_interpreted():
     # Pre-resolved lanes must not move.
     np.testing.assert_allclose(np.asarray(out_pts)[[5, 11]],
                                np.asarray(pts)[[5, 11]], atol=1e-6)
+
+
+def _shadow_escape_fixture(n, seed):
+    """Upward shadow rays from the upper half of the sphere interior: lanes
+    reliably cross y=1.0 and y=1.6 within ~40 clamp-0.1 iterations, so
+    per-lane escape heights actually change classifications."""
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (128,)) * 0.1
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    pts = jax.random.uniform(k1, (n, 3), minval=-0.6, maxval=0.6)
+    pts = pts.at[:, 1].set(jax.random.uniform(k2, (n,), minval=0.0, maxval=0.5))
+    dirs = jnp.concatenate(
+        [pts[:, :1] * 0.2, jnp.ones((n, 1)), pts[:, 2:] * 0.2], axis=1
+    )
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    status = jnp.zeros(n, jnp.int32)
+    escape = jnp.where(jnp.arange(n) % 2 == 0, 1.0, 1.6).astype(jnp.float32)
+    return params, lat, pts, dirs, status, escape
+
+
+def test_trace_steps_fused_per_lane_escape_interpreted():
+    """Shadow lanes carry per-lane escape heights (points row 3): lanes with
+    a low ceiling MISS earlier (lower final y) than lanes with a high one,
+    tracking the per-dispatch reference body given the same escape array.
+    sdf_offset=0.15 saturates the +0.1 step clamp so every lane marches
+    upward deterministically (the random-init net's own sdf is near zero)."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import trace_steps_fused
+
+    params, lat, pts, dirs, status, escape = _shadow_escape_fixture(512, seed=3)
+    kw = dict(shadow=True, threshold=0.005, step_clamp=0.1, sdf_offset=0.15,
+              radius=1.0)
+    ref_pts, ref_status = _reference_trace(
+        params, lat, pts, dirs, status, 40, dtype=jnp.float32,
+        escape=np.asarray(escape), **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out_pts, out_status = trace_steps_fused(
+            params, lat, pts, dirs, status, k=40, tile=512,
+            compute_dtype=jnp.float32, escape=escape, **kw)
+    ref_status = np.asarray(ref_status)
+    assert (ref_status == 2).mean() > 0.9  # the fixture must actually escape
+    agree = np.mean(np.asarray(out_status) == ref_status)
+    assert agree > 0.995, agree
+    same = np.asarray(out_status) == ref_status
+    np.testing.assert_allclose(np.asarray(out_pts)[same], ref_pts[same],
+                               atol=1e-4)
+    # The escape band must actually bite: high-ceiling lanes march past the
+    # low ceiling before missing.
+    y = np.asarray(out_pts)[:, 1]
+    missed = np.asarray(out_status) == 2
+    low, high = missed & (np.arange(512) % 2 == 0), missed & (np.arange(512) % 2 == 1)
+    assert (y[low] <= 1.0 + 0.11).all()
+    assert (y[high] > 1.6).mean() > 0.9
+
+
+def test_trace_staged_shadow_escape_cpu_path():
+    """The staged XLA path (compaction gathers the escape array alongside the
+    lane state) matches the per-dispatch reference given per-lane escapes."""
+    from shapegan_tpu.render import raymarching as rm
+
+    params, lat, pts, dirs, status, escape = _shadow_escape_fixture(4096, seed=12)
+    ref_pts, ref_status = _reference_trace(
+        params, lat, pts, dirs, status, 60, dtype=jnp.float32,
+        shadow=True, threshold=0.005, step_clamp=0.1, sdf_offset=0.15,
+        radius=1.0, escape=np.asarray(escape))
+    # After the 30-iteration first stage most lanes have escaped (≤ ~17
+    # saturated steps to 1.6 from this fixture), so the n/2 bucket cannot
+    # overflow and the compaction gather itself is what's under test.
+    out_pts, out_status = rm._trace_staged(
+        "shadow", params, lat, pts, dirs, status, 60,
+        0.005, 0.1, 0.15, 1.0, ((30, 2048),), escape=escape)
+    ref_status = np.asarray(ref_status)
+    assert (ref_status == 2).mean() > 0.9  # the fixture must actually escape
+    agree = np.mean(np.asarray(out_status) == ref_status)
+    assert agree > 0.99, agree
+    same = np.asarray(out_status) == ref_status
+    np.testing.assert_allclose(np.asarray(out_pts)[same],
+                               np.asarray(ref_pts)[same], atol=1e-4)
 
 
 def test_trace_staged_fused_wiring_interpreted():

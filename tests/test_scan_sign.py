@@ -145,3 +145,18 @@ def test_prepare_pipeline_defaults_to_scan_sign(tmp_path):
                            make_cloud=False, uniform_count=2000, surface_count=500)
     assert process_mesh_file(str(path), config) == "bad"
     assert (tmp_path / "out" / "open.badmesh").exists()
+
+
+def test_scan_build_is_lazy():
+    """The scan_count x res^2 z-buffer stack is only rasterized on the first
+    scan-signed query — unsigned queries (and oracles that are never asked
+    for a sign) skip the build entirely."""
+    mesh = uv_sphere_mesh()
+    oracle = MeshSDF(mesh, sign_method="scan", **SCANS)
+    assert not oracle._scans_built
+    d = oracle.query(np.array([[2.0, 0.0, 0.0]]), signed=False)
+    assert not oracle._scans_built
+    assert d[0] > 0
+    s = oracle.query(np.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]]))
+    assert oracle._scans_built
+    assert s[0] < 0 < s[1]
