@@ -382,28 +382,14 @@ def raymarch_decay(resolution=400, iterations=500):
     must hold every surviving ACTIVE lane or stragglers degrade to hits."""
     import bench
     from shapegan_tpu.ops import sdf_mlp
-    from shapegan_tpu.render.raymarching import CAMERA_POSITION
+    from shapegan_tpu.render.raymarching import CAMERA_POSITION, camera_rays
 
     net, params, code = bench._overfit_chair()
     params = sdf_mlp.fold_latent(params, jnp.asarray(code))
     latent = jnp.zeros(0, jnp.float32)
 
     cam = np.asarray(CAMERA_POSITION, np.float32)
-    fwd = -cam / np.linalg.norm(cam)
-    right = np.cross(fwd, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
-    up = np.cross(fwd, right); up /= np.linalg.norm(up)
-    lin = np.linspace(-1, 1, resolution, dtype=np.float32)
-    u, v = np.meshgrid(lin, lin)
-    uv = np.stack([u.ravel(), v.ravel()], axis=1)
-    focal = 1.0 / np.tan(np.arcsin(1.0 / np.linalg.norm(cam)))
-    dirs = (uv[:, :1] * right + uv[:, 1:2] * up + focal * fwd).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    pts = np.tile(cam, (uv.shape[0], 1)).astype(np.float32)
-    b = 2 * np.einsum("ij,ij->i", pts, dirs)
-    disc = b * b - 4 * (float(np.dot(cam, cam)) - 1.0)
-    entered = disc >= 0
-    t_entry = np.where(entered, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
-    pts = pts + dirs * t_entry[:, None]
+    pts, dirs, entered = camera_rays(cam, resolution, xp=np)
 
     from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best
 
@@ -454,24 +440,7 @@ def raymarch_stage_budget(size=1600, iterations=1000):
         params = sdf_mlp.fold_latent(params, latent0)
         latent = latent0[:0]
         cam = jnp.asarray(rm.CAMERA_POSITION, f32)
-        fwd = -cam / jnp.linalg.norm(cam)
-        right = jnp.cross(fwd, jnp.asarray([0.0, 1.0, 0.0], f32))
-        right = right / jnp.linalg.norm(right)
-        up = jnp.cross(fwd, right)
-        up = up / jnp.linalg.norm(up)
-        lin = jnp.linspace(-1.0, 1.0, size, dtype=f32)
-        u, v = jnp.meshgrid(lin, lin)
-        uv = jnp.stack([u.reshape(-1), v.reshape(-1)], axis=1)
-        focal = 1.0 / jnp.tan(jnp.arcsin(1.0 / jnp.linalg.norm(cam)))
-        dirs = uv[:, 0:1] * right[None] + uv[:, 1:2] * up[None] + focal * fwd[None]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
-        points = jnp.broadcast_to(cam[None, :], (n, 3)).astype(f32)
-        b = 2.0 * jnp.einsum("ij,ij->i", points, dirs)
-        c = jnp.dot(cam, cam) - 1.0
-        disc = b * b - 4.0 * c
-        entered = disc >= 0
-        dist = jnp.where(entered, (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / 2.0, 0.0)
-        points = points + dirs * dist[:, None]
+        points, dirs, entered = rm.camera_rays(cam, size, xp=jnp)
         if stage == 0:
             return jnp.sum(points)
         status = jnp.where(entered, rm._ACTIVE, rm._MISS)
@@ -503,7 +472,10 @@ def raymarch_stage_budget(size=1600, iterations=1000):
     prefixes = [jax.jit(lambda p, s=s: frame_prefix(p, s)) for s in range(4)]
 
     def timeit(fn, *args, reps=3):
-        fn(*args).block_until_ready()
+        # Warm-up must be pulled as a VALUE: on this link block_until_ready
+        # returns before the computation finishes (bench.py methodology
+        # note), so a block_until_ready warm-up bleeds into the timed window.
+        float(np.asarray(fn(*args)).sum())
         vals, t0 = [], time.perf_counter()
         for _ in range(reps):
             vals.append(fn(*args))

@@ -71,6 +71,45 @@ STAGE_ITERS = 100  # legacy first-stage budget (kept for small-n traces)
 TAIL_ITERS = 120
 
 
+def camera_rays(camera_position, size, radius=1.0, xp=np, basis=None):
+    """Per-pixel camera rays + analytic unit-sphere entry (reference
+    raymarching.py:68-98) — THE ray-setup used by `_render_pixels`, shared
+    with `_shadow_mask_capacity_cached` and bench_profile's decay/stage
+    harnesses so the geometric bounds derived from the ray setup can never
+    silently drift from the renderer's own.
+
+    ``xp`` selects numpy (host) or jax.numpy (traced); ``basis`` optionally
+    supplies (right, up, forward) — derived from the camera position when
+    omitted. Returns (points, directions, entered): sphere entry points
+    [n, 3] (the camera position where the ray misses), unit ray directions
+    [n, 3], and the entered mask [n]."""
+    cam = xp.asarray(camera_position)
+    if basis is None:
+        fwd = -cam / xp.linalg.norm(cam)
+        right = xp.cross(fwd, xp.asarray([0.0, 1.0, 0.0], dtype=cam.dtype))
+        right = right / xp.linalg.norm(right)
+        up = xp.cross(fwd, right)
+        up = up / xp.linalg.norm(up)
+    else:
+        right, up, fwd = (xp.asarray(b) for b in basis)
+    lin = xp.linspace(-1.0, 1.0, size, dtype=cam.dtype)
+    u, v = xp.meshgrid(lin, lin)
+    uv = xp.stack([u.reshape(-1), v.reshape(-1)], axis=1)
+    focal = 1.0 / xp.tan(xp.arcsin(radius / xp.linalg.norm(cam)))
+    directions = (
+        uv[:, 0:1] * right[None, :]
+        + uv[:, 1:2] * up[None, :]
+        + focal * fwd[None, :]
+    )
+    directions = directions / xp.linalg.norm(directions, axis=1, keepdims=True)
+    b = 2.0 * (directions @ cam)
+    disc = b * b - 4.0 * (cam @ cam - radius * radius)
+    entered = disc >= 0
+    dist = xp.where(entered, (-b - xp.sqrt(xp.maximum(disc, 0.0))) / 2.0, 0.0)
+    points = cam[None, :] + directions * dist[:, None]
+    return points, directions, entered
+
+
 def get_default_coordinates():
     camera_position = camera_position_from_transform(get_camera_transform(2.2, 147, 20))
     light_position = camera_position_from_transform(get_camera_transform(6, 164, 50))
@@ -342,24 +381,12 @@ def _shadow_mask_capacity(camera_position, size, radius=1.0):
 
 @functools.lru_cache(maxsize=64)
 def _shadow_mask_capacity_cached(camera_position, size, radius):
-    # The size²-ray numpy pipeline below costs ~100 ms and ~200 MB of
-    # temporaries at 1600² — cache per (camera, size, radius) so repeated
-    # frames (animations, figure grids) pay it once.
+    # The size²-ray numpy pipeline costs ~100 ms and ~200 MB of temporaries
+    # at 1600² — cache per (camera, size, radius) so repeated frames
+    # (animations, figure grids) pay it once.
     cam = np.asarray(camera_position, np.float64)
-    fwd = -cam / np.linalg.norm(cam)
-    right = np.cross(fwd, [0.0, 1.0, 0.0])
-    right /= np.linalg.norm(right)
-    up = np.cross(fwd, right)
-    up /= np.linalg.norm(up)
-    lin = np.linspace(-1.0, 1.0, size)
-    u, v = np.meshgrid(lin, lin)
-    uv = np.stack([u.ravel(), v.ravel()], axis=1)
-    focal = 1.0 / np.tan(np.arcsin(radius / np.linalg.norm(cam)))
-    dirs = uv[:, :1] * right + uv[:, 1:] * up + focal * fwd
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    b = 2.0 * dirs @ cam
-    disc = b * b - 4.0 * (cam @ cam - radius * radius)
-    count = int(np.count_nonzero((disc >= 0) | (dirs[:, 1] < 0)))
+    _, dirs, entered = camera_rays(cam, size, radius=radius, xp=np)
+    count = int(np.count_nonzero(entered | (dirs[:, 1] < 0)))
     return min(-(-count // 512) * 512, size * size)
 
 
@@ -379,11 +406,16 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     fallback, which rendered as a flat gray band across the lower frame,
     and any measured-fill bucket (e.g. 3n/4) re-introduces that artifact
     for shapes larger than the one measured. With the geometric bound the
-    first stage can never overflow. The later buckets follow the measured decay at clamp
-    0.1 — active 0.53n @10, 0.38n @20, then a cliff to 0.015n @30 and a
-    0.006n plateau — with 1.3-4x headroom (generous around the cliff,
-    whose onset iteration is shape-dependent): ~22n evaluations per frame
-    vs 35n before."""
+    first stage can never overflow. The iter-20 bucket scales with the
+    geometric capacity too (0.7·cap): the chair measures actives@20 =
+    0.565× its mask fill, so a shape filling the whole geometric mask
+    projects to ~0.57·cap actives — a fixed n/2 bucket had ZERO headroom
+    there, while 0.7·cap keeps ≥1.2x for capacity-filling shapes (1.6x on
+    the chair) at ~1.2n extra evaluations. The later buckets follow the
+    measured decay at clamp 0.1 — a cliff to 0.015n @30 and a 0.006n
+    plateau — with 4x+ headroom (generous around the cliff, whose onset
+    iteration is shape-dependent): ~23n evaluations per frame vs 35n
+    before."""
     n = points.shape[0]
     directions = light_position[None, :] - points
     directions = directions / jnp.linalg.norm(directions, axis=1, keepdims=True)
@@ -392,7 +424,7 @@ def _shadow_factor(params, latent, points, mask, light_position, threshold,
     cap = n if first_bucket is None else min(first_bucket, n)
     schedule = () if n <= 2048 else (
         (0, cap),
-        (20, -(-n // 2)),
+        (20, -(-cap * 7 // 10)),
         (10, -(-n // 16)),
         (10, -(-n // 64)),
     )
@@ -466,27 +498,12 @@ def _render_pixels(params, latent, camera_position, camera_right, camera_up,
     n = size * size
     f32 = jnp.float32
 
-    # Per-pixel rays (reference :68-91; x fastest within rows).
-    lin = jnp.linspace(-1.0, 1.0, size, dtype=f32)
-    u, v = jnp.meshgrid(lin, lin)
-    uv = jnp.stack([u.reshape(-1), v.reshape(-1)], axis=1)
-    camera_distance = jnp.linalg.norm(camera_position)
-    focal = 1.0 / jnp.tan(jnp.arcsin(radius / camera_distance))
-    ray_directions = (
-        uv[:, 0:1] * camera_right[None, :]
-        + uv[:, 1:2] * camera_up[None, :]
-        + focal * camera_forward[None, :]
+    # Per-pixel rays + analytic sphere entry (reference :68-98), via the
+    # shared helper so the shadow-capacity bound sees identical geometry.
+    points, ray_directions, entered = camera_rays(
+        camera_position, size, radius=radius, xp=jnp,
+        basis=(camera_right, camera_up, camera_forward),
     )
-    ray_directions = ray_directions / jnp.linalg.norm(ray_directions, axis=1, keepdims=True)
-    points = jnp.broadcast_to(camera_position[None, :], (n, 3)).astype(f32)
-
-    # Analytic entry into the bounding sphere (reference :93-98).
-    b = 2.0 * jnp.einsum("ij,ij->i", points, ray_directions)
-    c = jnp.dot(camera_position, camera_position) - radius * radius
-    disc = b * b - 4.0 * c
-    entered = disc >= 0
-    dist = jnp.where(entered, (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / 2.0, 0.0)
-    points = points + ray_directions * dist[:, None]
 
     # Primary trace: non-entered lanes start as misses.
     status = jnp.where(entered, _ACTIVE, _MISS)
