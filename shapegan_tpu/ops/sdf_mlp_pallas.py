@@ -162,18 +162,20 @@ def apply_grid_fused(params, grid_points, latents, tile: int = DEFAULT_TILE,
     return out[:, :p]
 
 
-def _points_trunk(pts, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
+def _points_trunk(pts, zz1, zz5, w1p_ref, w5p_ref, w_ref, b_ref,
                   w8row_ref):
-    """Pre-tanh head ([T] f32, b8 included) of the latent-folded 8-layer
-    trunk for a [T, 8] compute-dtype point tile with IN-KERNEL fan-in
-    projections. Shared by the single-shape points kernel and the fused
-    trace kernel so the layer sequence and the b_stack row order (see
-    BIAS_STACK_ORDER in _points_operands) live in exactly one place."""
+    """Pre-tanh head ([T] f32, b8 included) of the 8-layer trunk for a
+    [T, 8] compute-dtype point tile with IN-KERNEL fan-in projections.
+    ``zz1``/``zz5`` are the latent+bias fan-in terms as VALUES — [1, 256]
+    (one shape for the whole tile: points/trace kernels) or [T, 256]
+    (per-point latents: the rowwise autodecoder kernel); both broadcast.
+    Shared by all three so the layer sequence and the b_stack row order
+    (see BIAS_STACK_ORDER in _points_operands) live in exactly one place."""
     f32 = jnp.float32
     cd = pts.dtype
     x = jax.nn.relu(
         jnp.dot(pts, w1p_ref[:, :], preferred_element_type=f32).astype(cd)
-        + zz1_ref[0][None, :]
+        + zz1
     )
     for layer in range(3):  # w2, w3, w4
         x = jax.nn.relu(
@@ -183,7 +185,7 @@ def _points_trunk(pts, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
     pp5 = jnp.dot(pts, w5p_ref[:, :], preferred_element_type=f32).astype(cd)
     x = jax.nn.relu(
         jnp.dot(x, w_ref[3], preferred_element_type=f32).astype(cd)
-        + pp5 + zz5_ref[0][None, :]
+        + pp5 + zz5
     )
     for layer in (4, 5):  # w6, w7
         x = jax.nn.relu(
@@ -209,21 +211,16 @@ def _points_kernel(ptsT_ref, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref, b_ref,
     evaluation. Measured: 134 -> 210+ M pts/s on the raymarch workload.
     """
     pts = ptsT_ref[:, :].T  # [T, 8]
-    head = _points_trunk(pts, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref,
-                         b_ref, w8row_ref)
+    head = _points_trunk(pts, zz1_ref[:, :], zz5_ref[:, :], w1p_ref, w5p_ref,
+                         w_ref, b_ref, w8row_ref)
     out_ref[0, :] = jnp.tanh(head).astype(out_ref.dtype)
 
 
-def _points_operands(params, latent, cd):
-    """Shared kernel operands for the single-shape kernels: latent terms
-    pre-combined into the layer-1/-5 bias rows, fan-in weights padded to the
-    [8, breadth] transposed-points layout, trunk weights/biases stacked."""
+def _trunk_operands(params, cd):
+    """Latent-free kernel operands shared by every in-kernel-projection
+    kernel: fan-in weights padded to the [8, breadth] transposed-points
+    layout, trunk weights/biases stacked (row order: BIAS_STACK_ORDER)."""
     breadth = params["w2"].shape[0]
-    z = latent.astype(cd)[None, :]
-    zz1 = (jnp.dot(z, params["w1z"].astype(cd), preferred_element_type=cd)
-           + params["b1"].astype(cd))
-    zz5 = (jnp.dot(z, params["w5z"].astype(cd), preferred_element_type=cd)
-           + params["b5"].astype(cd))
     w1p = jnp.zeros((8, breadth), cd).at[:3].set(params["w1p"].astype(cd))
     w5p = jnp.zeros((8, breadth), cd).at[:3].set(params["w5p"].astype(cd))
 
@@ -241,7 +238,19 @@ def _points_operands(params, latent, cd):
     ).astype(cd)
     b_stack = b_stack[jnp.array(BIAS_STACK_ORDER)]
     w8row = params["w8"].astype(cd).T  # [1, 256]
-    return zz1, zz5, w1p, w5p, w_stack, b_stack, w8row
+    return w1p, w5p, w_stack, b_stack, w8row
+
+
+def _points_operands(params, latent, cd):
+    """Shared kernel operands for the single-shape kernels: latent terms
+    pre-combined into the layer-1/-5 bias rows, plus the latent-free trunk
+    operands (see _trunk_operands)."""
+    z = latent.astype(cd)[None, :]
+    zz1 = (jnp.dot(z, params["w1z"].astype(cd), preferred_element_type=cd)
+           + params["b1"].astype(cd))
+    zz5 = (jnp.dot(z, params["w5z"].astype(cd), preferred_element_type=cd)
+           + params["b5"].astype(cd))
+    return (zz1, zz5) + _trunk_operands(params, cd)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
@@ -342,8 +351,8 @@ def _make_trace_kernel(k: int, shadow: bool, threshold: float, step_clamp: float
 
         def body(_, carry):
             pts, status = carry  # [T, 8] f32, [1, T] int32
-            head = _points_trunk(pts.astype(cd), zz1_ref, zz5_ref, w1p_ref,
-                                 w5p_ref, w_ref, b_ref, w8row_ref)
+            head = _points_trunk(pts.astype(cd), zz1_ref[:, :], zz5_ref[:, :],
+                                 w1p_ref, w5p_ref, w_ref, b_ref, w8row_ref)
             sdf = jnp.clip(jnp.tanh(head) + sdf_offset, -step_clamp, step_clamp)
 
             active = status[0] == TRACE_ACTIVE
@@ -749,3 +758,271 @@ def apply_grid_sharded(params, grid_points, latents, mesh, trainable: bool = Fal
         out_specs=P(DATA_AXIS, POINTS_AXIS),
     )
     return fn(params, grid_points, latents)
+
+
+# ======================================================================
+# Rowwise (per-point-latent) fused custom-VJP path: the autodecoder trunk.
+# ======================================================================
+#
+# The DeepSDF autodecoder trains on batches whose EVERY point carries its own
+# latent row (codes[shape_idx], /root/reference/train_sdf_autodecoder.py:78).
+# The XLA path (ops/sdf_mlp.apply) materializes eight [N, 256] activation
+# tensors in HBM through the backward; at the reference's 20k-point batch the
+# step is far from the MXU bound. Here the trunk runs as ONE fused kernel in
+# each direction: the forward takes the per-point fan-in latent terms
+# zz1/zz5 = z @ w1z/5z + b (tiny XLA GEMMs over the gathered codes) and
+# projects the raw points in-kernel; the backward recomputes the tile's
+# activations in VMEM and emits per-ROW dzz1/dzz5 blocks (which autodiff
+# chains through the XLA gather's transpose to the latent-table scatter) plus
+# the usual constant-index-map weight accumulators.
+#
+# The chain to w1p/w5p/points closes in XLA from dzz1/dzz5 (three small
+# GEMMs); w1z/b1/w5z/b5 receive their cotangents entirely through the zz
+# inputs, so their in-VJP entries are zero.
+
+
+def _rowwise_kernel(ptsT_ref, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref,
+                    b_ref, w8row_ref, out_ref):
+    """Forward program for one point tile with per-row latent terms."""
+    pts = ptsT_ref[:, :].T  # [T, 8]
+    head = _points_trunk(pts, zz1_ref[:, :], zz5_ref[:, :], w1p_ref, w5p_ref,
+                         w_ref, b_ref, w8row_ref)
+    out_ref[0, :] = jnp.tanh(head).astype(out_ref.dtype)
+
+
+def _rowwise_bwd_kernel(ptsT_ref, zz1_ref, zz5_ref, w1p_ref, w5p_ref, w_ref,
+                        b_ref, w8row_ref, g_ref,
+                        dzz1_ref, dzz5_ref, dw_ref, db_ref, dw8_ref, db8_ref):
+    """Backward program for one point tile: recompute the forward in VMEM
+    (residuals are just the inputs), emit per-row dzz blocks and accumulate
+    the weight/bias cotangents across the sequential grid (same accumulator
+    design as _bwd_kernel — constant index maps keep one fp32 block in VMEM;
+    the b_stack row layout is BIAS_STACK_ORDER)."""
+    f32 = jnp.float32
+    cd = zz1_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+        dw8_ref[:, :] = jnp.zeros_like(dw8_ref)
+        db8_ref[:, :] = jnp.zeros_like(db8_ref)
+
+    pts = ptsT_ref[:, :].T  # [T, 8] cd
+
+    # ---- recompute forward, keeping the activations
+    x1 = (jnp.dot(pts, w1p_ref[:, :], preferred_element_type=f32)
+          + zz1_ref[:, :].astype(f32))
+    h = [jax.nn.relu(x1).astype(cd)]  # h[0] = h1
+    for layer in range(3):  # w2, w3, w4 -> h2..h4
+        acc = (jnp.dot(h[-1], w_ref[layer], preferred_element_type=f32)
+               + b_ref[layer][None, :].astype(f32))
+        h.append(jax.nn.relu(acc).astype(cd))
+    x5 = (jnp.dot(h[-1], w_ref[3], preferred_element_type=f32)
+          + jnp.dot(pts, w5p_ref[:, :], preferred_element_type=f32)
+          + zz5_ref[:, :].astype(f32))
+    h.append(jax.nn.relu(x5).astype(cd))  # h[4] = h5
+    for layer in (4, 5):  # w6, w7 -> h6, h7
+        acc = (jnp.dot(h[-1], w_ref[layer], preferred_element_type=f32)
+               + b_ref[layer][None, :].astype(f32))
+        h.append(jax.nn.relu(acc).astype(cd))
+    w8row = w8row_ref[0, :].astype(f32)
+    b8 = b_ref[6, :].astype(f32)[0]
+    head = jnp.sum(h[6].astype(f32) * w8row[None, :], axis=1)
+    out_col = jnp.tanh(head + b8)[:, None]  # [T, 1]
+
+    # ---- backward
+    gz_col = g_ref[0, :].astype(f32)[:, None] * (1.0 - out_col * out_col)
+    dw8_acc = jnp.sum(h[6].astype(f32) * gz_col, axis=0)
+    db8_acc = jnp.sum(gz_col)
+    dh = gz_col * w8row[None, :]  # dh7
+
+    contract_t = (((0,), (0,)), ((), ()))      # [T, a] x [T, b] -> [a, b]
+    contract_last = (((1,), (1,)), ((), ()))   # [T, a] x [b, a] -> [T, b]
+    dw_acc = [None] * 6
+    db_acc = [None] * 8
+
+    for layer, h_prev, h_cur, db_row in ((5, h[5], h[6], 5), (4, h[4], h[5], 4)):
+        dz = (dh * (h_cur.astype(f32) > 0)).astype(cd)
+        dw_acc[layer] = jax.lax.dot_general(h_prev, dz, contract_t,
+                                            preferred_element_type=f32)
+        db_acc[db_row] = jnp.sum(dz.astype(f32), axis=0)
+        dh = jax.lax.dot_general(dz, w_ref[layer], contract_last,
+                                 preferred_element_type=f32)
+
+    dz5 = (dh * (h[4].astype(f32) > 0)).astype(cd)
+    dw_acc[3] = jax.lax.dot_general(h[3], dz5, contract_t,
+                                    preferred_element_type=f32)
+    dzz5_ref[:, :] = dz5.astype(f32)
+    dh = jax.lax.dot_general(dz5, w_ref[3], contract_last,
+                             preferred_element_type=f32)
+
+    for layer, h_prev, h_cur, db_row in (
+        (2, h[2], h[3], 2), (1, h[1], h[2], 1), (0, h[0], h[1], 0)
+    ):
+        dz = (dh * (h_cur.astype(f32) > 0)).astype(cd)
+        dw_acc[layer] = jax.lax.dot_general(h_prev, dz, contract_t,
+                                            preferred_element_type=f32)
+        db_acc[db_row] = jnp.sum(dz.astype(f32), axis=0)
+        dh = jax.lax.dot_general(dz, w_ref[layer], contract_last,
+                                 preferred_element_type=f32)
+
+    dx1 = dh * (h[0].astype(f32) > 0)
+    dzz1_ref[:, :] = dx1
+
+    breadth = dw_ref.shape[1]
+    zero_row = jnp.zeros((breadth,), f32)
+    db_rows = [r if r is not None else zero_row for r in db_acc]
+    dw_ref[:, :, :] += jnp.stack(dw_acc)
+    db_ref[:, :] += jnp.stack(db_rows)
+    dw8_ref[:, :] += jnp.broadcast_to(dw8_acc[:, None], dw8_ref.shape)
+    db8_ref[:, :] += jnp.full(db8_ref.shape, db8_acc, f32)
+
+
+def _rowwise_specs(tile, breadth, b_rows=8):
+    """in_specs shared by the rowwise fwd/bwd pallas_calls (the bwd appends
+    the incoming-cotangent spec)."""
+    return [
+        pl.BlockSpec((8, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_rows, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _rowwise_pack(params, points, zz1, zz5, tile, cd):
+    n = points.shape[0]
+    pad = (-n) % tile
+    ptsT = jnp.zeros((8, n + pad), cd).at[:3, :n].set(points.T.astype(cd))
+    zz1p = jnp.pad(zz1.astype(cd), ((0, pad), (0, 0)))
+    zz5p = jnp.pad(zz5.astype(cd), ((0, pad), (0, 0)))
+    return n, pad, ptsT, zz1p, zz5p, _trunk_operands(params, cd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def apply_rowwise_trainable(params, points, zz1, zz5, tile: int = 1024,
+                            compute_dtype=jnp.bfloat16):
+    """Differentiable fused per-point-latent evaluation: points [N, 3] with
+    per-row fan-in latent terms zz1/zz5 [N, breadth] -> [N] fp32 (tanh'd).
+
+    zz1/zz5 are ``codes[shape_idx] @ w1z/w5z + b1/b5`` computed in XLA, so
+    gradients flow to the latent table (scatter-add via the gather's
+    transpose), to w1z/b1/w5z/b5 (via the zz matmuls), and — closed in XLA
+    from the kernel's per-row dzz outputs — to points and w1p/w5p.
+    """
+    out, _ = _rowwise_fwd(params, points, zz1, zz5, tile, compute_dtype)
+    return out
+
+
+def _rowwise_fwd(params, points, zz1, zz5, tile, cd):
+    n, pad, ptsT, zz1p, zz5p, trunk = _rowwise_pack(params, points, zz1, zz5,
+                                                    tile, cd)
+    w1p, w5p, w_stack, b_stack, w8row = trunk
+    breadth = w_stack.shape[1]
+    out = pl.pallas_call(
+        _rowwise_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
+        grid=((n + pad) // tile,),
+        in_specs=_rowwise_specs(tile, breadth),
+        out_specs=pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (n + pad) * 6 * breadth * breadth,
+            bytes_accessed=(n + pad) * (8 + 4 * breadth) * 2,
+            transcendentals=n + pad,
+        ),
+    )(ptsT, zz1p, zz5p, w1p, w5p, w_stack, b_stack, w8row)
+    return out[0, :n], (params, points, zz1, zz5)
+
+
+def _rowwise_bwd(tile, cd, residuals, g):
+    params, points, zz1, zz5 = residuals
+    n, pad, ptsT, zz1p, zz5p, trunk = _rowwise_pack(params, points, zz1, zz5,
+                                                    tile, cd)
+    w1p, w5p, w_stack, b_stack, w8row = trunk
+    breadth = w_stack.shape[1]
+    f32 = jnp.float32
+    g_padded = jnp.pad(g.astype(f32), (0, pad))[None, :]
+
+    outs = pl.pallas_call(
+        _rowwise_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n + pad, breadth), f32),   # dzz1
+            jax.ShapeDtypeStruct((n + pad, breadth), f32),   # dzz5
+            jax.ShapeDtypeStruct((6, breadth, breadth), f32),
+            jax.ShapeDtypeStruct((8, breadth), f32),
+            jax.ShapeDtypeStruct((breadth, 128), f32),
+            jax.ShapeDtypeStruct((8, 128), f32),             # db8 (lane 0 real)
+        ),
+        grid=((n + pad) // tile,),
+        in_specs=_rowwise_specs(tile, breadth) + [
+            pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((breadth, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # accumulators need the sequential grid default; VMEM cap as in
+            # the grid backward (the recompute's live set exceeds 16 MB).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (n + pad) * 17 * breadth * breadth,
+            bytes_accessed=(n + pad) * (8 + 8 * breadth) * 2,
+            transcendentals=n + pad,
+        ),
+    )(ptsT, zz1p, zz5p, w1p, w5p, w_stack, b_stack, w8row, g_padded)
+
+    dzz1, dzz5, d_w, d_b, d_w8, d_b8 = outs
+    dzz1 = dzz1[:n]
+    dzz5 = dzz5[:n]
+    pts32 = points.astype(f32)
+    zeros_like = lambda k: jnp.zeros_like(params[k], dtype=f32)
+    d_params = {
+        "w1p": pts32.T @ dzz1,
+        "w5p": pts32.T @ dzz5,
+        # w1z/b1/w5z/b5 receive their cotangents through the zz inputs.
+        "w1z": zeros_like("w1z"), "b1": zeros_like("b1"),
+        "w5z": zeros_like("w5z"), "b5": zeros_like("b5"),
+        "w2": d_w[0], "b2": d_b[0],
+        "w3": d_w[1], "b3": d_b[1],
+        "w4": d_w[2], "b4": d_b[2],
+        "w5h": d_w[3],
+        "w6": d_w[4], "b6": d_b[4],
+        "w7": d_w[5], "b7": d_b[5],
+        "w8": d_w8[:, :1],
+        "b8": d_b8[0, :1],
+    }
+    d_params = {k: v.astype(params[k].dtype) for k, v in d_params.items()}
+    d_points = dzz1 @ params["w1p"].astype(f32).T + dzz5 @ params["w5p"].astype(f32).T
+    return (d_params, d_points.astype(points.dtype),
+            dzz1.astype(zz1.dtype), dzz5.astype(zz5.dtype))
+
+
+apply_rowwise_trainable.defvjp(_rowwise_fwd, _rowwise_bwd)
+
+
+def apply_rowwise(params, points, latents, dtype=jnp.bfloat16, tile: int = 1024):
+    """Fused-kernel equivalent of :func:`shapegan_tpu.ops.sdf_mlp.apply`:
+    points [N, 3] with per-point latents [N, L] -> [N] fp32. Differentiable
+    wrt params, points, and latents (the autodecoder's latent-gather rows).
+    """
+    cd = dtype
+    z = latents.astype(cd)
+    zz1 = (jnp.dot(z, params["w1z"].astype(cd), preferred_element_type=cd)
+           + params["b1"].astype(cd))
+    zz5 = (jnp.dot(z, params["w5z"].astype(cd), preferred_element_type=cd)
+           + params["b5"].astype(cd))
+    return apply_rowwise_trainable(params, points, zz1, zz5, tile, cd)

@@ -294,3 +294,60 @@ def test_trace_staged_fused_wiring_interpreted():
     hit_both = (out_status == 1) & (ref_status == 1)
     np.testing.assert_allclose(np.asarray(out_pts)[hit_both],
                                np.asarray(ref_pts)[hit_both], atol=0.02)
+
+
+def test_rowwise_forward_matches_xla_interpreted():
+    """The per-point-latent (autodecoder) fused forward against the XLA bf16
+    reference (ops/sdf_mlp.apply), including a padded tail."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_rowwise
+
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    n = 3000  # 3 tiles of 1024 with a padded tail
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (n, 3), minval=-1, maxval=1)
+    lats = jax.random.normal(jax.random.PRNGKey(1), (n, 128)) * 0.1
+    expected = np.asarray(sdf_mlp.apply(params, pts, lats, dtype=jnp.bfloat16))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(apply_rowwise(params, pts, lats))
+    np.testing.assert_allclose(out, expected, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_rowwise_vjp_matches_xla_interpreted():
+    """Rowwise fused grads vs fp32 ground truth, on the autodecoder's actual
+    loss shape (table gather + L1 + latent reg) so the latent-TABLE cotangent
+    (scatter-add through the gather transpose of the kernel's per-row dzz
+    outputs) is exercised, not just the per-row grads. Same error metric as
+    _vjp_check: each bf16 path's error vs fp32 truth is comparable."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_rowwise
+
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    n, models = 2048 + 512, 6  # padded tail + multi-tile accumulator flushes
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (n, 3), minval=-1, maxval=1)
+    table = jax.random.normal(jax.random.PRNGKey(1), (models, 128)) * 0.1
+    idx = jax.random.randint(jax.random.PRNGKey(4), (n,), 0, models)
+    target = jax.random.uniform(jax.random.PRNGKey(5), (n,), minval=-0.1, maxval=0.1)
+
+    def loss(f):
+        def fn(p, c):
+            out = f(p, pts, c[idx])
+            return jnp.mean(jnp.abs(out - target)) + 0.01 * jnp.mean(c[idx] ** 2)
+
+        return fn
+
+    truth = jax.grad(
+        loss(lambda p, q, z: sdf_mlp.apply(p, q, z, dtype=jnp.float32)),
+        argnums=(0, 1),
+    )(params, table)
+    bf16 = jax.grad(
+        loss(lambda p, q, z: sdf_mlp.apply(p, q, z, dtype=jnp.bfloat16)),
+        argnums=(0, 1),
+    )(params, table)
+    with pltpu.force_tpu_interpret_mode():
+        fused = jax.grad(loss(apply_rowwise), argnums=(0, 1))(params, table)
+
+    for t, b, f in zip(jax.tree.leaves(truth), jax.tree.leaves(bf16), jax.tree.leaves(fused)):
+        t, b, f = np.asarray(t), np.asarray(b), np.asarray(f)
+        scale = max(np.abs(t).max(), 1e-6)
+        err_bf16 = np.abs(b - t).max() / scale
+        err_fused = np.abs(f - t).max() / scale
+        assert err_fused < 2.0 * err_bf16 + 0.02, (err_fused, err_bf16)
