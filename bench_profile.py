@@ -353,6 +353,35 @@ def autodecoder_breakdown(model_count=8, pc_size=25000, batch=20000, reps=25):
 
     row("fwd only (loss chain)", _timed_state_scan(fwd_step, (params, codes), reps))
 
+    # Fused rowwise custom-VJP kernel (ops/sdf_mlp_pallas.apply_rowwise) in
+    # the full step — the candidate replacement for the XLA apply; compiled
+    # kernels only (interpret mode would swamp the timing off-TPU).
+    if jax.default_backend() == "tpu":
+        from shapegan_tpu.ops.sdf_mlp_pallas import apply_rowwise
+
+        def make_fused_loss(indices):
+            shape_indices = indices // pc_size
+            bp, bs = points[indices], sdf[indices]
+
+            def loss_fn(p, c):
+                bc = c[shape_indices]
+                out = apply_rowwise(p, bp, bc, dtype=ad.COMPUTE_DTYPE)
+                return jnp.mean(jnp.abs(out - bs)) + ad.SIGMA * jnp.mean(bc**2)
+
+            return loss_fn
+
+        def fused_step(carry, i):
+            p, c, no, co = carry
+            ng, cg = jax.grad(make_fused_loss(batch_of(i)), argnums=(0, 1))(p, c)
+            upd, no = net_tx.update(ng, no, p)
+            p = optax.apply_updates(p, upd)
+            cupd, co = code_tx.update(cg, co, c)
+            c = optax.apply_updates(c, cupd)
+            return p, c, no, co
+
+        row("full step (ours, fused rowwise)",
+            _timed_state_scan(fused_step, state4, reps))
+
     # Reference formulation: fp32 concat MLP, same gather + optimizers.
     def ref_step(carry, i):
         p, c, no, co = carry
