@@ -30,6 +30,7 @@ class TrainConfig:
     # argparse vocabulary
     category: str = "chairs"
     # framework extensions
+    cpu: bool = False             # force the CPU backend (see parse_cli)
     synthetic: int = 0            # train on N synthetic analytic shapes (no dataset needed)
     batch_size: Optional[int] = None
     data_dir: str = "data"
@@ -47,6 +48,7 @@ _BOOL_TOKENS = {
     "show_slice": "show_slice",
     "verbose": "verbose",
     "classic": "classic",
+    "cpu": "cpu",
     "synthetic": ("synthetic", 50),
 }
 
@@ -88,7 +90,35 @@ def parse_cli(argv: Optional[List[str]] = None, **defaults) -> TrainConfig:
         else:
             cfg.extras[arg] = True
         i += 1
+    if cfg.cpu:
+        _force_cpu_backend()
     return cfg
+
+
+def _force_cpu_backend() -> None:
+    """Pin jax to the CPU backend, as a parse_cli side effect of the ``cpu``
+    token. Must run before the first backend touch: on hosts whose
+    sitecustomize force-selects an accelerator platform (e.g. the remote-TPU
+    tunnel), the JAX_PLATFORMS env var alone is overridden, and a dead
+    tunnel hangs the first jax.devices() call forever — ``cpu`` is the
+    escape hatch that keeps every trainer CLI runnable anywhere. A no-op
+    (with a warning) if a backend is already initialized."""
+    import jax
+
+    try:
+        from jax._src import xla_bridge
+
+        initialized = bool(xla_bridge._backends)
+    except Exception:
+        initialized = False
+    if initialized and jax.default_backend() != "cpu":
+        print("config: 'cpu' requested but a JAX backend is already "
+              "initialized; flag ignored", file=sys.stderr)
+        return
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def _assign(cfg: TrainConfig, key: str, value: str) -> None:

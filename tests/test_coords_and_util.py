@@ -1,5 +1,6 @@
 """Coordinate conventions, utility functions, loss semantics."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,3 +151,31 @@ def test_gradient_penalty_is_differentiable():
     g = jax.jit(jax.grad(loss))(w)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_cli_cpu_token_parses():
+    """The `cpu` token pins the backend (a no-op warning under the test
+    platform, which is already CPU) and round-trips through parse_cli."""
+    from shapegan_tpu.core.config import parse_cli
+
+    cfg = parse_cli(["nogui", "cpu", "epochs=1"])
+    assert cfg.cpu and cfg.nogui and cfg.epochs == 1
+    assert parse_cli(["nogui"]).cpu is False
+
+
+@pytest.mark.slow
+def test_cli_cpu_token_rescues_trainer_subprocess(tmp_path):
+    """`cpu` must pin the backend BEFORE the first backend touch even when a
+    sitecustomize hook force-selects an accelerator platform whose endpoint
+    may be unreachable (observed: a dead remote-TPU tunnel hangs
+    jax.devices() forever; the flag is the documented escape hatch)."""
+    import subprocess
+    import sys
+
+    result = subprocess.run(
+        [sys.executable, "/root/repo/train_sdf_autodecoder.py",
+         "nogui", "synthetic=4", "epochs=1", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Epoch 0" in result.stdout
