@@ -165,8 +165,10 @@ def main():
         jax.random.PRNGKey(5), (batch, res, res, res), minval=-0.1, maxval=0.1
     )
 
-    def make_d_chain(with_gp, with_fake_gen):
-        def d_loss(d_params, g_params, real, rng):
+    from bench import _timed_state_scan
+
+    def make_d_step(with_gp, with_fake_gen):
+        def d_loss(d_params, rng):
             z_rng, gp_rng = jax.random.split(rng)
             if with_fake_gen:
                 z = jax.random.normal(z_rng, (batch, 128))
@@ -182,59 +184,36 @@ def main():
                 )
             return loss
 
-        @jax.jit
-        def run(g_params, d_params, real, steps):
-            opt = d_tx.init(d_params)
+        def step(carry, i):
+            d_params, opt = carry
+            rng = jax.random.fold_in(jax.random.PRNGKey(11), i)
+            grads = jax.grad(d_loss)(d_params, rng)
+            upd, opt = d_tx.update(grads, opt, d_params)
+            return optax.apply_updates(d_params, upd), opt
 
-            def body(carry, step):
-                d_params, opt = carry
-                rng = jax.random.fold_in(jax.random.PRNGKey(11), step)
-                grads = jax.grad(d_loss)(d_params, g_params, real, rng)
-                upd, opt = d_tx.update(grads, opt, d_params)
-                return (optax.apply_updates(d_params, upd), opt), None
+        return step
 
-            carry, _ = jax.lax.scan(body, (d_params, opt), steps)
-            return sum(
-                l.ravel()[0].astype(jnp.float32) for l in jax.tree.leaves(carry)
-            )[None]
-
-        return run
-
-    @jax.jit
-    def g_chain(g_params, d_params, steps):
+    def g_step(carry, i):
         def g_loss(g_params, rng):
             z = jax.random.normal(rng, (batch, 128))
             fake = generate_volumes(net, g_params, grid, z, res)
             return -jnp.mean(critic(d_params, fake))
 
-        opt = g_tx.init(g_params)
+        g_params_c, opt = carry
+        grads = jax.grad(g_loss)(g_params_c, jax.random.fold_in(jax.random.PRNGKey(13), i))
+        upd, opt = g_tx.update(grads, opt, g_params_c)
+        return optax.apply_updates(g_params_c, upd), opt
 
-        def body(carry, step):
-            g_params, opt = carry
-            grads = jax.grad(g_loss)(g_params, jax.random.fold_in(jax.random.PRNGKey(13), step))
-            upd, opt = g_tx.update(grads, opt, g_params)
-            return (optax.apply_updates(g_params, upd), opt), None
+    def chain_time(step, state):
+        # One timing protocol repo-wide: bench._timed_state_scan (marginal
+        # cost between a short and 4x-long scan, value-pulled).
+        return _timed_state_scan(step, state, reps)
 
-        carry, _ = jax.lax.scan(body, (g_params, opt), steps)
-        return sum(
-            l.ravel()[0].astype(jnp.float32) for l in jax.tree.leaves(carry)
-        )[None]
-
-    def chain_time(run, *args):
-        short, long = jnp.arange(reps), jnp.arange(4 * reps)
-        float(np.asarray(run(*args, short)).ravel()[0])
-        float(np.asarray(run(*args, long)).ravel()[0])
-        t0 = time.perf_counter()
-        float(np.asarray(run(*args, short)).ravel()[0])
-        t1 = time.perf_counter()
-        float(np.asarray(run(*args, long)).ravel()[0])
-        t2 = time.perf_counter()
-        return ((t2 - t1) - (t1 - t0)) / (3 * reps)
-
-    t_full = chain_time(make_d_chain(True, True), g_params, d_params, real)
-    t_nogp = chain_time(make_d_chain(False, True), g_params, d_params, real)
-    t_nofake = chain_time(make_d_chain(True, False), g_params, d_params, real)
-    t_g = chain_time(g_chain, g_params, d_params)
+    d_state = (d_params, d_opt)
+    t_full = chain_time(make_d_step(True, True), d_state)
+    t_nogp = chain_time(make_d_step(False, True), d_state)
+    t_nofake = chain_time(make_d_step(True, False), d_state)
+    t_g = chain_time(g_step, (g_params, g_opt))
 
     def row(name, t):
         print(f"{name:<34s} {t * 1e3:8.2f} ms")
