@@ -30,7 +30,7 @@ from shapegan_tpu import checkpoints
 from shapegan_tpu.core.config import parse_cli
 from shapegan_tpu.models import LATENT_CODES_FILENAME
 from shapegan_tpu.models.sdf_net import SDFNet
-from shapegan_tpu.render.raymarching import render_image
+from shapegan_tpu.render.raymarching import render_image, render_image_sequence
 from shapegan_tpu.util import ensure_directory
 
 
@@ -103,19 +103,33 @@ def main():
 
     t_start = time.time()
     rendered = 0
-    for i, code in enumerate(path):
-        filename = os.path.join(out_dir, f"frame-{i:05d}.png")
-        if os.path.exists(filename):
-            continue
-        code = code.astype(np.float32)
-        if mode == "mesh":
-            image = render_mesh_frame(net, params, code, resolution, voxel_resolution)
-        else:
-            image = render_image(net, params, code, resolution=resolution)
-        image.save(filename)
-        rendered += 1
-        rate = rendered / max(time.time() - t_start, 1e-9)
-        print(f"frame {i + 1}/{len(path)} ({rate:.2f} frames/s)")
+    todo = [(i, code.astype(np.float32)) for i, code in enumerate(path)
+            if not os.path.exists(os.path.join(out_dir, f"frame-{i:05d}.png"))]
+    n_dev = len(jax.local_devices())
+    if mode == "raymarch" and n_dev > 1 and len(todo) > 1:
+        # Frame-parallel raymarching: one frame per device, chunked so
+        # frames land on disk (and are resumable) as the run progresses.
+        for start in range(0, len(todo), n_dev):
+            chunk = todo[start : start + n_dev]
+            images = render_image_sequence(
+                net, params, [c for _, c in chunk], resolution=resolution
+            )
+            for (i, _), image in zip(chunk, images):
+                image.save(os.path.join(out_dir, f"frame-{i:05d}.png"))
+            rendered += len(chunk)
+            rate = rendered / max(time.time() - t_start, 1e-9)
+            print(f"frame {chunk[-1][0] + 1}/{len(path)} ({rate:.2f} frames/s, "
+                  f"{n_dev} devices)")
+    else:
+        for i, code in todo:
+            if mode == "mesh":
+                image = render_mesh_frame(net, params, code, resolution, voxel_resolution)
+            else:
+                image = render_image(net, params, code, resolution=resolution)
+            image.save(os.path.join(out_dir, f"frame-{i:05d}.png"))
+            rendered += 1
+            rate = rendered / max(time.time() - t_start, 1e-9)
+            print(f"frame {i + 1}/{len(path)} ({rate:.2f} frames/s)")
 
 
 if __name__ == "__main__":

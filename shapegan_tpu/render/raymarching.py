@@ -658,6 +658,36 @@ def render_image(
     return image
 
 
+def render_image_sequence(net, params, latent_codes, devices=None, **render_kw):
+    """Render many latent codes CONCURRENTLY, one frame per device.
+
+    The reference renders animation frames sequentially
+    (demo_sdf_net.py:37-55 — ~40 min for its 30x60-frame latent traversal,
+    README.md:131-133). A frame here is one device dispatch
+    (:func:`render_image`), so frames are embarrassingly parallel across a
+    mesh: params are placed on every device once, each worker thread drives
+    its own device, and dispatches overlap (JAX releases the GIL during
+    device execution). On a single device this degrades to the sequential
+    loop. Returns PIL images in latent-code order.
+    """
+    import concurrent.futures
+
+    devices = list(devices if devices is not None else jax.local_devices())
+    codes = [jnp.asarray(c, jnp.float32) for c in latent_codes]
+    if len(devices) <= 1 or len(codes) <= 1:
+        return [render_image(net, params, c, **render_kw) for c in codes]
+
+    params_on = {d: jax.device_put(params, d) for d in devices}
+
+    def render_one(i):
+        d = devices[i % len(devices)]
+        return render_image(net, params_on[d], jax.device_put(codes[i], d),
+                            **render_kw)
+
+    with concurrent.futures.ThreadPoolExecutor(len(devices)) as pool:
+        return list(pool.map(render_one, range(len(codes))))
+
+
 def render_image_for_index(net, params, latent_codes, index: int, crop: bool = False,
                            resolution: int = 800):
     """Disk-cached per-index render (reference :182-192)."""

@@ -130,3 +130,32 @@ def test_demo_sdf_net_mesh_mode_renders_frames(tmp_path, monkeypatch):
 
     img = np.asarray(Image.open(os.path.join("screenshots/sdf_net_animation", frames[0])))
     assert img.shape == (96, 96, 3)
+
+
+def test_demo_sdf_net_raymarch_frame_parallel(tmp_path, monkeypatch):
+    """demo_sdf_net mode=raymarch takes the frame-parallel branch on the
+    multi-device test mesh and writes every frame."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    import demo_sdf_net
+    from shapegan_tpu import checkpoints
+    from shapegan_tpu.models import LATENT_CODES_FILENAME
+    from shapegan_tpu.models.sdf_net import SDFNet
+
+    net = SDFNet()
+    params = net.init(jax.random.PRNGKey(0))
+    checkpoints.save(params, "sdf_net", base="models")
+    codes = np.random.default_rng(0).normal(0, 0.01, (3, 128)).astype(np.float32)
+    checkpoints.save_array(codes, LATENT_CODES_FILENAME, base="models")
+
+    assert len(jax.local_devices()) > 1  # conftest forces the 8-device mesh
+    monkeypatch.setattr(
+        sys, "argv",
+        ["demo_sdf_net.py", "mode=raymarch", "samples=2",
+         "frames_per_transition=2", "resolution=16"],
+    )
+    demo_sdf_net.main()
+    frames = sorted(os.listdir("screenshots/sdf_net_animation"))
+    assert frames == [f"frame-{i:05d}.png" for i in range(4)]

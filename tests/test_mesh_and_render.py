@@ -314,3 +314,23 @@ def test_shadow_mask_capacity_cached():
     b = rm._shadow_mask_capacity(rm.CAMERA_POSITION, 64)
     assert a == b
     assert rm._shadow_mask_capacity_cached.cache_info().hits >= 1
+
+
+def test_render_image_sequence_matches_sequential():
+    """Frame-parallel rendering (one frame per device) returns bitwise the
+    same frames as the sequential path, in order, on the virtual device
+    mesh."""
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.render.raymarching import render_image, render_image_sequence
+
+    net = SDFNet()
+    params = net.init(jax.random.PRNGKey(0))
+    codes = [np.zeros(128, np.float32),
+             np.full(128, 0.05, np.float32),
+             np.full(128, -0.05, np.float32)]
+    kw = dict(resolution=24, ssaa=1, iterations=8, sdf_offset=0.1)
+    seq = [render_image(net, params, c, **kw) for c in codes]
+    par = render_image_sequence(net, params, codes, devices=jax.devices()[:3], **kw)
+    assert len(par) == len(seq)
+    for a, b in zip(par, seq):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
