@@ -874,7 +874,6 @@ def sdf_net_reconstruction(args, config):
 def sdf_net_interpolation(args, config):
     """Raymarched interpolation between two latent-table codes (reference
     'sdf_net_interpolation', create_plot.py:722-744)."""
-    from shapegan_tpu.render.raymarching import render_image
 
     net, params, codes = _load_sdf_net(config)
     steps = _extra_int(config, "steps", 6)
@@ -882,17 +881,16 @@ def sdf_net_interpolation(args, config):
     indices = np.random.default_rng(0).choice(len(codes), 2, replace=False)
     interpolated = _interpolate(codes[indices[0]], codes[indices[1]], steps)
     plot = ImageGrid(steps, create_viewer=False)
-    for i in range(steps):
-        plot.set_image(np.asarray(render_image(net, params, interpolated[i],
-                                               resolution=res, crop=True,
-                                               **_render_opts(config))), i)
+    for i, image in enumerate(_render_codes(net, params, interpolated,
+                                            resolution=res, crop=True,
+                                            **_render_opts(config))):
+        plot.set_image(image, i)
     plot.save("plots/deepsdf-interpolation.png")
 
 
 def sdf_net_sample(args, config):
     """Raymarched samples drawn from the latent table's fitted Normal
     (reference 'sdf_net_sample', create_plot.py:746-764)."""
-    from shapegan_tpu.render.raymarching import render_image
 
     net, params, codes = _load_sdf_net(config)
     count = _extra_int(config, "count", 5)
@@ -902,10 +900,9 @@ def sdf_net_sample(args, config):
     print("mean:", mean, "std:", std)
     drawn = np.random.default_rng(0).normal(mean, std, (count, LATENT_CODE_SIZE)).astype(np.float32)
     plot = ImageGrid(count, create_viewer=False)
-    for i in range(count):
-        plot.set_image(np.asarray(render_image(net, params, drawn[i],
-                                               resolution=res, crop=True,
-                                               **_render_opts(config))), i)
+    for i, image in enumerate(_render_codes(net, params, drawn, resolution=res,
+                                            crop=True, **_render_opts(config))):
+        plot.set_image(image, i)
     plot.save("plots/deepsdf-samples.png")
 
 
@@ -925,20 +922,28 @@ def _render_opts(config):
     )
 
 
+def _render_codes(net, params, codes, **render_kw):
+    """Raymarch a list of codes into uint8 arrays, frame-parallel across
+    devices when more than one is available (render_image_sequence)."""
+    from shapegan_tpu.render.raymarching import render_image_sequence
+
+    return [np.asarray(img)
+            for img in render_image_sequence(net, params, list(codes), **render_kw)]
+
+
 def hybrid_gan(args, config):
     """Raymarched samples from the hybrid GAN's implicit generator (reference
     'hybrid_gan', create_plot.py:766-780)."""
-    from shapegan_tpu.render.raymarching import render_image
 
     net, params, _ = _load_sdf_net(config, filename="hybrid_gan_generator")
     count = _extra_int(config, "count", 5)
     res = _extra_int(config, "res", 400)
     codes = np.random.default_rng(0).normal(size=(count, LATENT_CODE_SIZE)).astype(np.float32)
     plot = ImageGrid(count, create_viewer=False)
-    for i in range(count):
-        plot.set_image(np.asarray(render_image(net, params, codes[i], resolution=res,
-                                               **_HYBRID_RENDER,
-                                               **_render_opts(config))), i)
+    for i, image in enumerate(_render_codes(net, params, codes, resolution=res,
+                                            **_HYBRID_RENDER,
+                                            **_render_opts(config))):
+        plot.set_image(image, i)
     plot.save("plots/hybrid-gan-samples.png")
 
 
@@ -946,7 +951,6 @@ def hybrid_gan_interpolation(args, config):
     """Render candidate shapes, then interpolate between two chosen ones
     (reference 'hybrid_gan_interpolation', create_plot.py:783-811; start/end
     indices come from args instead of interactive input)."""
-    from shapegan_tpu.render.raymarching import render_image
 
     net, params, _ = _load_sdf_net(config, filename="hybrid_gan_generator")
     options = _extra_int(config, "options", 10)
@@ -958,10 +962,13 @@ def hybrid_gan_interpolation(args, config):
     if len(numeric) >= 2:
         start, end = int(numeric[0]), int(numeric[1])
     else:
-        for i in range(options):
-            image = render_image(net, params, codes[i], resolution=min(res, 200),
-                                 **_HYBRID_RENDER, **_render_opts(config))
-            image.save(f"plots/option-{i}.png")
+        from PIL import Image
+
+        options_images = _render_codes(net, params, codes,
+                                       resolution=min(res, 200),
+                                       **_HYBRID_RENDER, **_render_opts(config))
+        for i, image in enumerate(options_images):
+            Image.fromarray(image, "RGB").save(f"plots/option-{i}.png")
             print(f"plots/option-{i}.png")
         start, end = 0, 1
         print(f"no start/end indices given — using {start} and {end} "
@@ -969,10 +976,10 @@ def hybrid_gan_interpolation(args, config):
 
     interpolated = _interpolate(codes[start], codes[end], steps)
     plot = ImageGrid(steps, create_viewer=False)
-    for i in range(steps):
-        plot.set_image(np.asarray(render_image(net, params, interpolated[i],
-                                               resolution=res, **_HYBRID_RENDER,
-                                               **_render_opts(config))), i)
+    for i, image in enumerate(_render_codes(net, params, interpolated,
+                                            resolution=res, **_HYBRID_RENDER,
+                                            **_render_opts(config))):
+        plot.set_image(image, i)
     plot.save("plots/hybrid-gan-interpolation.png")
 
 
