@@ -12,6 +12,7 @@ Usage: python bench_profile.py [iteration=N] [batch=N] [reps=N]
        python bench_profile.py raymarch=1 [resolution=N]   # live-lane decay
        python bench_profile.py stages=1                    # raymarch stage budget
        python bench_profile.py autodecoder=1 [reps=N]      # autodecoder step breakdown
+       python bench_profile.py point_gan=1 [reps=N]        # point-GAN step breakdown
 
 Reference workload being decomposed:
 /root/reference/train_hybrid_progressive_gan.py:102-111 (GP), :135-149 (G
@@ -41,7 +42,7 @@ from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inf
 
 def parse_args(argv):
     opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400,
-            "stages": 0, "autodecoder": 0}
+            "stages": 0, "autodecoder": 0, "point_gan": 0}
     for arg in argv:
         if "=" in arg:
             k, v = arg.split("=", 1)
@@ -236,8 +237,91 @@ def _dispatch():
         raymarch_stage_budget()
     elif opts["autodecoder"]:
         autodecoder_breakdown(reps=opts["reps"])
+    elif opts["point_gan"]:
+        point_gan_breakdown(reps=opts["reps"])
     else:
         main()
+
+
+def point_gan_breakdown(n_points=4096, batch=32, reps=20):
+    """Where the point-GAN WGAN-GP step goes (bench.py config 5b workload).
+    Evolving-chain ablations via bench._timed_state_scan: full D step /
+    no-GP / no-fake-generation / G step. Decides whether the SDFGenerator
+    (its own 8-layer MLP with additive latent injection) or the PointNet
+    critic deserves kernel work."""
+    import optax
+
+    from bench import _timed_state_scan
+    from shapegan_tpu.train import point_gan
+
+    print(f"# point-GAN WGAN-GP step breakdown @ {n_points} pts, batch {batch}, "
+          f"{reps} reps, backend={jax.default_backend()}")
+    generator, discriminator, g_params, d_params = point_gan.create_models(seed=0)
+    g_tx = optax.rmsprop(1e-4)
+    d_tx = optax.rmsprop(1e-4)
+    u = jax.random.uniform(jax.random.PRNGKey(1), (batch, n_points, 4), minval=-1, maxval=1)
+    u_pos, u_dist = u[..., :3], u[..., 3:]
+    fake_const = jax.random.uniform(
+        jax.random.PRNGKey(2), (batch, n_points, 1), minval=-0.1, maxval=0.1
+    )
+
+    def make_d_step(with_gp, with_fake_gen):
+        def d_loss(d_params, rng):
+            z_rng, gp_rng = jax.random.split(rng)
+            if with_fake_gen:
+                z = jax.random.normal(z_rng, (batch, point_gan.LATENT_SIZE))
+                fake = jax.lax.stop_gradient(
+                    generator.apply({"params": g_params}, u_pos, z)
+                )
+            else:
+                fake = fake_const
+            critic = lambda dist: discriminator.apply(
+                {"params": d_params}, u_pos, dist)[..., 0]
+            loss = jnp.mean(critic(fake)) - jnp.mean(critic(u_dist))
+            if with_gp:
+                alpha = jax.random.uniform(gp_rng, (batch, 1, 1))
+                interp = alpha * u_dist + (1.0 - alpha) * fake
+                grads = jax.grad(lambda d: jnp.sum(critic(d)))(interp)
+                norms = jnp.sqrt(jnp.sum(grads**2, axis=(1, 2)) + 1e-12)
+                loss += point_gan.GRADIENT_PENALTY * jnp.mean((norms - 1.0) ** 2)
+            return loss
+
+        def step(carry, i):
+            d_params, opt = carry
+            grads = jax.grad(d_loss)(d_params, jax.random.fold_in(jax.random.PRNGKey(11), i))
+            upd, opt = d_tx.update(grads, opt, d_params)
+            return optax.apply_updates(d_params, upd), opt
+
+        return step
+
+    def g_step(carry, i):
+        def g_loss(gp, rng):
+            z = jax.random.normal(rng, (batch, point_gan.LATENT_SIZE))
+            fake = generator.apply({"params": gp}, u_pos, z)
+            return -jnp.mean(discriminator.apply({"params": d_params}, u_pos, fake)[..., 0])
+
+        gp_c, opt = carry
+        grads = jax.grad(g_loss)(gp_c, jax.random.fold_in(jax.random.PRNGKey(13), i))
+        upd, opt = g_tx.update(grads, opt, gp_c)
+        return optax.apply_updates(gp_c, upd), opt
+
+    d_state = (d_params, d_tx.init(d_params))
+    t_full = _timed_state_scan(make_d_step(True, True), d_state, reps)
+    t_nogp = _timed_state_scan(make_d_step(False, True), d_state, reps)
+    t_nofake = _timed_state_scan(make_d_step(True, False), d_state, reps)
+    t_g = _timed_state_scan(g_step, (g_params, g_tx.init(g_params)), reps)
+
+    def row(name, t):
+        print(f"{name:<34s} {t * 1e3:8.2f} ms")
+
+    row("full critic step (evolving)", t_full)
+    row("  - fake generation (ablated)", t_full - t_nofake)
+    row("  - GP double-grad (ablated)", t_full - t_nogp)
+    row("  - base WGAN critic (residual)", t_nofake + t_nogp - t_full)
+    row("full generator step (evolving)", t_g)
+    per_batch = t_full + t_g / 5.0
+    print(f"{'amortized per-batch (D + G/5)':<34s} {per_batch * 1e3:8.2f} ms "
+          f"-> {1.0 / per_batch:.1f} steps/s")
 
 
 def autodecoder_breakdown(model_count=8, pc_size=25000, batch=20000, reps=25):
