@@ -651,25 +651,17 @@ def main():
 
 def _fail_fast_if_backend_hung(timeout_s: float = 180.0) -> None:
     """A dead remote-TPU tunnel makes the first jax.devices() touch hang
-    FOREVER (observed for hours); probe the backend in a throwaway
-    subprocess with a timeout so the bench fails fast with a diagnostic
-    instead of hanging the driver's whole bench window."""
-    import subprocess
+    FOREVER (observed for hours); probe the backend (in a throwaway
+    subprocess, shapegan_tpu.util.probe_jax_backend) so the bench fails fast
+    with a diagnostic instead of hanging the driver's whole bench window."""
     import sys
 
-    try:
-        result = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        if result.returncode == 0:
-            return
-        detail = (result.stderr or "").strip().splitlines()[-1:]
-    except subprocess.TimeoutExpired:
-        detail = [f"backend bringup still hung after {timeout_s:.0f} s"]
-    except Exception as exc:  # pragma: no cover - probe plumbing
-        detail = [repr(exc)]
-    print(f"bench.py: JAX backend unreachable ({'; '.join(detail)}); "
+    from shapegan_tpu.util import probe_jax_backend
+
+    count, detail = probe_jax_backend(timeout_s)
+    if count >= 0:
+        return
+    print(f"bench.py: JAX backend unreachable ({detail}); "
           "refusing to hang — is the TPU tunnel up?", file=sys.stderr)
     raise SystemExit(1)
 

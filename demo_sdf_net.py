@@ -83,6 +83,12 @@ def render_mesh_frame(net, params, code, resolution: int, voxel_resolution: int)
 def main():
     config = parse_cli()
     mode = str(config.extras.get("mode", "mesh"))
+    if mode not in ("mesh", "raymarch"):
+        raise SystemExit(
+            f"demo_sdf_net: unknown mode={mode!r} (expected mode=mesh or "
+            "mode=raymarch) — refusing to guess between the ~1 s/frame mesh "
+            "pipeline and the ~3 s/frame raymarcher"
+        )
     sample_count = int(config.extras.get("samples", 30))
     frames_per_transition = int(config.extras.get("frames_per_transition", 60))
     resolution = int(config.extras.get("resolution", 800))
@@ -107,19 +113,27 @@ def main():
             if not os.path.exists(os.path.join(out_dir, f"frame-{i:05d}.png"))]
     n_dev = len(jax.local_devices())
     if mode == "raymarch" and n_dev > 1 and len(todo) > 1:
-        # Frame-parallel raymarching: one frame per device, chunked so
-        # frames land on disk (and are resumable) as the run progresses.
-        for start in range(0, len(todo), n_dev):
-            chunk = todo[start : start + n_dev]
-            images = render_image_sequence(
-                net, params, [c for _, c in chunk], resolution=resolution
-            )
-            for (i, _), image in zip(chunk, images):
-                image.save(os.path.join(out_dir, f"frame-{i:05d}.png"))
-            rendered += len(chunk)
-            rate = rendered / max(time.time() - t_start, 1e-9)
-            print(f"frame {chunk[-1][0] + 1}/{len(path)} ({rate:.2f} frames/s, "
-                  f"{n_dev} devices)")
+        # Frame-parallel raymarching: one frame per device-pinned worker over
+        # the whole run (params placed once per device), with frames landing
+        # on disk (and the run resumable) as each completes via on_frame.
+        import threading
+
+        progress_lock = threading.Lock()
+
+        def on_frame(j, image):
+            nonlocal rendered
+            i = todo[j][0]
+            image.save(os.path.join(out_dir, f"frame-{i:05d}.png"))
+            with progress_lock:
+                rendered += 1
+                rate = rendered / max(time.time() - t_start, 1e-9)
+                print(f"frame {i + 1}/{len(path)} ({rate:.2f} frames/s, "
+                      f"{n_dev} devices)")
+
+        render_image_sequence(
+            net, params, [c for _, c in todo], resolution=resolution,
+            on_frame=on_frame,
+        )
     else:
         for i, code in todo:
             if mode == "mesh":

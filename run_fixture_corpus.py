@@ -33,11 +33,12 @@ def main():
     argv = [a for a in sys.argv[1:] if "=" not in a]
     opts = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     if "cpu" in argv:
-        # Must run before any backend touch; the env var alone is overridden
-        # by the host's platform-forcing sitecustomize.
-        import jax
+        # Same escape hatch as every trainer CLI's `cpu` token (guards
+        # against an already-initialized backend instead of silently
+        # no-op'ing; must run before any backend touch).
+        from shapegan_tpu.core.config import _force_cpu_backend
 
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu_backend()
         argv.remove("cpu")
     workdir = argv[0] if argv else "fixture_corpus_run"
     run(workdir, count=int(opts.get("count", 12)), epochs=int(opts.get("epochs", 3)))

@@ -38,6 +38,13 @@ from shapegan_tpu.native import load_library
 
 SCAN_COUNT = 50
 SCAN_RESOLUTION = 1024
+# Default scan resolution when only the numpy rasterizer is available: the
+# native engine builds 50 scans at 1024² in well under a second, but the
+# numpy fallback's per-face Python loop takes tens of seconds (and ~200 MB
+# of z-buffers) per mesh at 1024². Scan-sign semantics scale with texel
+# size — the one-texel visibility bias just grows 4× — and the adversarial
+# fixtures in tests/test_scan_sign.py pass at 256².
+NUMPY_SCAN_RESOLUTION = 256
 
 _lib = None
 _lib_failed = False
@@ -82,13 +89,12 @@ class MeshSDF:
 
     def __init__(self, mesh: TriangleMesh, use_native: bool = True,
                  sign_method: str = "scan", scan_count: int = SCAN_COUNT,
-                 scan_resolution: int = SCAN_RESOLUTION):
+                 scan_resolution: Optional[int] = None):
         if sign_method not in ("scan", "parity"):
             raise ValueError(f"unknown sign_method {sign_method!r}")
         self.mesh = mesh
         self.sign_method = sign_method
         self.scan_count = scan_count
-        self.scan_resolution = scan_resolution
         self._handle = None
         self._numpy_scans = None
         self._scans_built = False
@@ -103,6 +109,14 @@ class MeshSDF:
             )
             # keep buffers alive for the handle's lifetime
             self._buffers = (vertices, faces)
+        if scan_resolution is None:
+            # Reference resolution through the native rasterizer; the numpy
+            # fallback defaults lower so scan-signed prep stays usable on
+            # hosts without a C++ toolchain (see NUMPY_SCAN_RESOLUTION).
+            # Pass scan_resolution explicitly to override either way.
+            scan_resolution = (SCAN_RESOLUTION if self._handle is not None
+                               else NUMPY_SCAN_RESOLUTION)
+        self.scan_resolution = scan_resolution
 
     def _ensure_scans(self) -> None:
         """Build the depth scans on the first scan-signed query (lazy: a

@@ -387,7 +387,12 @@ def _shadow_mask_capacity_cached(camera_position, size, radius):
     cam = np.asarray(camera_position, np.float64)
     _, dirs, entered = camera_rays(cam, size, radius=radius, xp=np)
     count = int(np.count_nonzero(entered | (dirs[:, 1] < 0)))
-    return min(-(-count // 512) * 512, size * size)
+    # The in-graph mask is computed in float32 under jit; rays with disc ≈ 0
+    # or dir_y ≈ 0 on the silhouette/horizon can classify differently there
+    # than in this float64 host count, so carry 512 lanes of slack before
+    # rounding up (<0.1% extra trace width at 800²) — the bound must never
+    # undercount, or the overflow lanes silently degrade to shadowed pixels.
+    return min(-(-(count + 512) // 512) * 512, size * size)
 
 
 def _shadow_factor(params, latent, points, mask, light_position, threshold,
@@ -658,34 +663,55 @@ def render_image(
     return image
 
 
-def render_image_sequence(net, params, latent_codes, devices=None, **render_kw):
+def render_image_sequence(net, params, latent_codes, devices=None, on_frame=None,
+                          **render_kw):
     """Render many latent codes CONCURRENTLY, one frame per device.
 
     The reference renders animation frames sequentially
     (demo_sdf_net.py:37-55 — ~40 min for its 30x60-frame latent traversal,
     README.md:131-133). A frame here is one device dispatch
     (:func:`render_image`), so frames are embarrassingly parallel across a
-    mesh: params are placed on every device once, each worker thread drives
-    its own device, and dispatches overlap (JAX releases the GIL during
-    device execution). On a single device this degrades to the sequential
-    loop. Returns PIL images in latent-code order.
+    mesh: params are placed on every device once and each worker thread
+    drives its OWN device through its round-robin slice of the codes
+    (codes[d::n_dev]) — a frame never queues behind another device's
+    backlog, and dispatches overlap (JAX releases the GIL during device
+    execution). On a single device this degrades to the sequential loop.
+
+    ``on_frame(index, image)``, when given, fires as each frame completes —
+    from worker threads, possibly concurrently and out of index order — so
+    long animations can save frames to disk incrementally instead of holding
+    the whole run in memory until the final join. Returns PIL images in
+    latent-code order.
     """
     import concurrent.futures
 
     devices = list(devices if devices is not None else jax.local_devices())
     codes = [jnp.asarray(c, jnp.float32) for c in latent_codes]
     if len(devices) <= 1 or len(codes) <= 1:
-        return [render_image(net, params, c, **render_kw) for c in codes]
+        images = []
+        for i, c in enumerate(codes):
+            img = render_image(net, params, c, **render_kw)
+            if on_frame is not None:
+                on_frame(i, img)
+            images.append(img)
+        return images
 
     params_on = {d: jax.device_put(params, d) for d in devices}
+    results = [None] * len(codes)
 
-    def render_one(i):
-        d = devices[i % len(devices)]
-        return render_image(net, params_on[d], jax.device_put(codes[i], d),
-                            **render_kw)
+    def drive_device(d_idx):
+        d = devices[d_idx]
+        p = params_on[d]
+        for i in range(d_idx, len(codes), len(devices)):
+            img = render_image(net, p, jax.device_put(codes[i], d), **render_kw)
+            results[i] = img
+            if on_frame is not None:
+                on_frame(i, img)
 
     with concurrent.futures.ThreadPoolExecutor(len(devices)) as pool:
-        return list(pool.map(render_one, range(len(codes))))
+        # list() propagates the first worker exception instead of dropping it.
+        list(pool.map(drive_device, range(len(devices))))
+    return results
 
 
 def render_image_for_index(net, params, latent_codes, index: int, crop: bool = False,

@@ -326,24 +326,24 @@ def train(config: Optional[TrainConfig] = None):
         except ValueError as exc:
             print(f"sharded epoch disabled ({exc}); using single-device epoch")
             shards = 1
-    if shards > 1 and config.nogui:
-        mesh = get_mesh(data=shards, points=1)
-        sharded_epoch = make_sharded_epoch(
-            net, net_tx, code_tx, pointcloud_size, mesh, code_opt_state
-        )
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        else:
+            mesh = get_mesh(data=shards, points=1)
+            sharded_epoch = make_sharded_epoch(
+                net, net_tx, code_tx, pointcloud_size, mesh, code_opt_state
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        code_sh = lambda leaf: NamedSharding(
-            mesh, P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P()
-        )
-        params = jax.device_put(params, replicated(mesh))
-        net_opt_state = jax.device_put(net_opt_state, replicated(mesh))
-        latent_codes = jax.device_put(latent_codes, data_sharding(mesh, 2))
-        code_opt_state = jax.tree.map(
-            lambda leaf: jax.device_put(leaf, code_sh(leaf)), code_opt_state
-        )
-        points = jax.device_put(points, data_sharding(mesh, 2))
-        sdf = jax.device_put(sdf, data_sharding(mesh, 1))
+            code_sh = lambda leaf: NamedSharding(
+                mesh, P(DATA_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P()
+            )
+            params = jax.device_put(params, replicated(mesh))
+            net_opt_state = jax.device_put(net_opt_state, replicated(mesh))
+            latent_codes = jax.device_put(latent_codes, data_sharding(mesh, 2))
+            code_opt_state = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, code_sh(leaf)), code_opt_state
+            )
+            points = jax.device_put(points, data_sharding(mesh, 2))
+            sdf = jax.device_put(sdf, data_sharding(mesh, 1))
 
     logger = CSVLogger(f"{config.plot_dir}/sdf_net_training.csv", resume=config.resume)
     first_epoch = logger.first_epoch  # reference resume convention (:49-51)

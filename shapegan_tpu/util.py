@@ -18,6 +18,33 @@ def ensure_directory(directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
 
 
+def probe_jax_backend(timeout_s: float = 120.0):
+    """``(device_count, detail)`` for the platform jax would select here,
+    probed in a throwaway subprocess so a hung backend bringup (e.g. a dead
+    remote-TPU tunnel, which hangs the first ``jax.devices()`` touch FOREVER)
+    cannot hang the caller. ``device_count`` is -1 on failure or timeout;
+    ``detail`` then carries the reason. The one probe shared by bench.py's
+    fail-fast guard and __graft_entry__'s ambient-device check, so the
+    banner-stripping stdout parse and the diagnostics live in one place."""
+    import subprocess
+    import sys
+
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if result.returncode == 0:
+            # last line: skips any banner/warning noise printed before it
+            return int(result.stdout.strip().splitlines()[-1]), ""
+        tail = (result.stderr or "").strip().splitlines()[-1:]
+        return -1, tail[0] if tail else f"probe exited {result.returncode}"
+    except subprocess.TimeoutExpired:
+        return -1, f"backend bringup still hung after {timeout_s:.0f} s"
+    except Exception as exc:  # pragma: no cover - probe plumbing
+        return -1, repr(exc)
+
+
 def create_text_slice(voxels) -> str:
     """ASCII-art density slice of a voxel SDF volume.
 
