@@ -334,3 +334,33 @@ def test_render_image_sequence_matches_sequential():
     assert len(par) == len(seq)
     for a, b in zip(par, seq):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_image_sequence_on_frame_callback():
+    """on_frame fires exactly once per frame with the frame's latent-code
+    index and the SAME image object the result list carries, on both the
+    multi-device (device-pinned workers) and single-device paths."""
+    import threading
+
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.render.raymarching import render_image_sequence
+
+    net = SDFNet()
+    params = net.init(jax.random.PRNGKey(0))
+    codes = [np.full(128, 0.02 * i, np.float32) for i in range(5)]
+    kw = dict(resolution=24, ssaa=1, iterations=8, sdf_offset=0.1)
+
+    for devices in (jax.devices()[:3], jax.devices()[:1]):
+        seen = {}
+        lock = threading.Lock()
+
+        def on_frame(i, img):
+            with lock:
+                assert i not in seen, f"on_frame fired twice for frame {i}"
+                seen[i] = img
+
+        out = render_image_sequence(net, params, codes, devices=devices,
+                                    on_frame=on_frame, **kw)
+        assert sorted(seen) == list(range(len(codes)))
+        for i, img in enumerate(out):
+            assert seen[i] is img
