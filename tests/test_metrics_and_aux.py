@@ -114,3 +114,30 @@ def test_shapenet_taxonomy_and_mesh_helpers_importable():
     import shapegan_tpu.render.binary_voxels  # noqa: F401
     import shapegan_tpu.data.prepare  # noqa: F401
     import shapegan_tpu.train.classifier  # noqa: F401
+
+
+def test_bench_run_config_isolation(capsys):
+    """bench.py's per-config crash isolation: transient failures retry and
+    still record the metric; persistent failures yield an error submetric
+    instead of killing the sweep (BENCH_r03.json lost a whole sweep to one
+    transient remote-compile error at config 6/7)."""
+    import bench
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("remote_compile: read body closed")
+        return {"metric": "m", "value": 1.0, "unit": "x", "vs_baseline": 2.0}
+
+    rec = bench._run_config("m", flaky, retries=2, retry_sleep=0.0)
+    assert rec["value"] == 1.0 and calls["n"] == 3
+
+    def always_fails():
+        raise ValueError("boom")
+
+    rec = bench._run_config("broken", always_fails, retries=1, retry_sleep=0.0)
+    assert rec["metric"] == "broken" and "boom" in rec["error"]
+    err = capsys.readouterr().err
+    assert err.count("BENCH-ERROR") == 4  # 2 flaky retries + 2 failed attempts
