@@ -913,6 +913,19 @@ def apply_rowwise_trainable(params, points, zz1, zz5, tile: int = 1024,
     gradients flow to the latent table (scatter-add via the gather's
     transpose), to w1z/b1/w5z/b5 (via the zz matmuls), and — closed in XLA
     from the kernel's per-row dzz outputs — to points and w1p/w5p.
+
+    STATUS — measured and REJECTED for the production autodecoder step
+    (round 4, TPU v5e, ``bench_profile.py autodecoder=1`` at the reference
+    workload of 20k points / 8 shapes x 25k): the full train step through
+    this kernel runs at 935.5 us vs 819.6 us for the plain XLA bf16 path
+    (train/sdf_autodecoder.py), i.e. ~14% slower. The reason: at 20k rows
+    the XLA step is bandwidth/latency-bound, not activation-storage-bound —
+    a stored-activation backward costs only ~29 us more than a rematerialized
+    one (remat-delta row), while this kernel's in-kernel trunk recompute
+    pays ~3x the trunk matmul FLOPs in the backward. The kernel is kept as
+    a documented experiment (correctness tests in tests/test_pallas_kernels);
+    the production step stays on XLA (see BASELINE.md "rowwise kernel"
+    entry for the full decomposition).
     """
     out, _ = _rowwise_fwd(params, points, zz1, zz5, tile, compute_dtype)
     return out
