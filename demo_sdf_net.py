@@ -127,8 +127,11 @@ def main():
             with progress_lock:
                 rendered += 1
                 rate = rendered / max(time.time() - t_start, 1e-9)
-                print(f"frame {i + 1}/{len(path)} ({rate:.2f} frames/s, "
-                      f"{n_dev} devices)")
+                # Completed-count progress: frames finish out of index order
+                # across device workers, so the frame index alone would read
+                # as the run going backwards.
+                print(f"{rendered}/{len(todo)} rendered (frame {i:05d}, "
+                      f"{rate:.2f} frames/s, {n_dev} devices)")
 
         render_image_sequence(
             net, params, [c for _, c in todo], resolution=resolution,

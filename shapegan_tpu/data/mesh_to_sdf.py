@@ -48,6 +48,25 @@ NUMPY_SCAN_RESOLUTION = 256
 
 _lib = None
 _lib_failed = False
+_warned_numpy_scan_default = False
+
+
+def _warn_numpy_scan_default_once() -> None:
+    global _warned_numpy_scan_default
+    if _warned_numpy_scan_default:
+        return
+    _warned_numpy_scan_default = True
+    import warnings
+
+    warnings.warn(
+        "native mesh_sdf engine unavailable — scan-sign queries default to "
+        f"the numpy rasterizer at {NUMPY_SCAN_RESOLUTION}² (native default: "
+        f"{SCAN_RESOLUTION}²). Datasets prepared at this lower sign precision "
+        "differ from native-prepared ones; pass scan_resolution explicitly "
+        "to pin it.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 class BadMeshException(Exception):
@@ -114,8 +133,14 @@ class MeshSDF:
             # fallback defaults lower so scan-signed prep stays usable on
             # hosts without a C++ toolchain (see NUMPY_SCAN_RESOLUTION).
             # Pass scan_resolution explicitly to override either way.
-            scan_resolution = (SCAN_RESOLUTION if self._handle is not None
-                               else NUMPY_SCAN_RESOLUTION)
+            if self._handle is not None:
+                scan_resolution = SCAN_RESOLUTION
+            else:
+                scan_resolution = NUMPY_SCAN_RESOLUTION
+                # The default silently depends on which engine loaded; datasets
+                # prepared at the fallback's lower sign precision must say so
+                # in the prep log (environment-dependent reproducibility).
+                _warn_numpy_scan_default_once()
         self.scan_resolution = scan_resolution
 
     def _ensure_scans(self) -> None:

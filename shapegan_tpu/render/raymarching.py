@@ -664,7 +664,7 @@ def render_image(
 
 
 def render_image_sequence(net, params, latent_codes, devices=None, on_frame=None,
-                          **render_kw):
+                          keep_results=None, **render_kw):
     """Render many latent codes CONCURRENTLY, one frame per device.
 
     The reference renders animation frames sequentially
@@ -680,31 +680,39 @@ def render_image_sequence(net, params, latent_codes, devices=None, on_frame=None
     ``on_frame(index, image)``, when given, fires as each frame completes —
     from worker threads, possibly concurrently and out of index order — so
     long animations can save frames to disk incrementally instead of holding
-    the whole run in memory until the final join. Returns PIL images in
-    latent-code order.
+    the whole run in memory until the final join. In that streaming mode the
+    default is genuinely bounded memory: frames are NOT accumulated and the
+    function returns None (a 30x60-frame run at 800² would otherwise retain
+    several GB of PIL images the caller then discards). Pass
+    ``keep_results=True`` to both stream and collect; without ``on_frame``
+    the function returns PIL images in latent-code order as before.
     """
     import concurrent.futures
 
+    if keep_results is None:
+        keep_results = on_frame is None
     devices = list(devices if devices is not None else jax.local_devices())
     codes = [jnp.asarray(c, jnp.float32) for c in latent_codes]
     if len(devices) <= 1 or len(codes) <= 1:
-        images = []
+        images = [None] * len(codes) if keep_results else None
         for i, c in enumerate(codes):
             img = render_image(net, params, c, **render_kw)
             if on_frame is not None:
                 on_frame(i, img)
-            images.append(img)
+            if keep_results:
+                images[i] = img
         return images
 
     params_on = {d: jax.device_put(params, d) for d in devices}
-    results = [None] * len(codes)
+    results = [None] * len(codes) if keep_results else None
 
     def drive_device(d_idx):
         d = devices[d_idx]
         p = params_on[d]
         for i in range(d_idx, len(codes), len(devices)):
             img = render_image(net, p, jax.device_put(codes[i], d), **render_kw)
-            results[i] = img
+            if keep_results:
+                results[i] = img
             if on_frame is not None:
                 on_frame(i, img)
 

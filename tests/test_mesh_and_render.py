@@ -338,8 +338,10 @@ def test_render_image_sequence_matches_sequential():
 
 def test_render_image_sequence_on_frame_callback():
     """on_frame fires exactly once per frame with the frame's latent-code
-    index and the SAME image object the result list carries, on both the
-    multi-device (device-pinned workers) and single-device paths."""
+    index, on both the multi-device (device-pinned workers) and
+    single-device paths. With a callback the default is streaming mode
+    (returns None — bounded memory for long animations); keep_results=True
+    additionally collects the SAME image objects the callback saw."""
     import threading
 
     from shapegan_tpu.models.sdf_net import SDFNet
@@ -361,6 +363,12 @@ def test_render_image_sequence_on_frame_callback():
 
         out = render_image_sequence(net, params, codes, devices=devices,
                                     on_frame=on_frame, **kw)
+        assert out is None  # streaming default: nothing retained
+        assert sorted(seen) == list(range(len(codes)))
+
+        seen.clear()
+        out = render_image_sequence(net, params, codes, devices=devices,
+                                    on_frame=on_frame, keep_results=True, **kw)
         assert sorted(seen) == list(range(len(codes)))
         for i, img in enumerate(out):
             assert seen[i] is img
