@@ -136,7 +136,7 @@ def create_sharded_batches(
 
 
 def make_sharded_epoch(net: SDFNet, net_tx, code_tx, pointcloud_size: int, mesh,
-                       code_opt_example):
+                       code_opt_example, compute_dtype=COMPUTE_DTYPE):
     """Multi-chip epoch: the resident point dataset, SDF values, latent table,
     and latent-optimizer moments are sharded BY SHAPE over the mesh's 'data'
     axis — the TPU answer to the reference's whole-dataset-on-one-GPU
@@ -164,7 +164,7 @@ def make_sharded_epoch(net: SDFNet, net_tx, code_tx, pointcloud_size: int, mesh,
 
             def loss_fn(p, codes):
                 batch_codes = codes[shape_indices]
-                output = net.apply(p, batch_points, batch_codes, dtype=COMPUTE_DTYPE)
+                output = net.apply(p, batch_points, batch_codes, dtype=compute_dtype)
                 return jnp.mean(jnp.abs(output - batch_sdf)) + SIGMA * jnp.mean(
                     batch_codes**2
                 )
@@ -220,7 +220,8 @@ def make_sharded_epoch(net: SDFNet, net_tx, code_tx, pointcloud_size: int, mesh,
     return jax.jit(sharded, donate_argnums=(0, 1, 2, 3))
 
 
-def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
+def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int,
+                    compute_dtype=COMPUTE_DTYPE):
     def step_body(params, latent_codes, net_opt_state, code_opt_state, points, sdf, indices):
         shape_indices = indices // pointcloud_size
         batch_points = points[indices]
@@ -230,7 +231,7 @@ def make_train_step(net: SDFNet, net_tx, code_tx, pointcloud_size: int):
             # One gather serves both the MLP and the regularizer (reference
             # :78-87 semantics; apply_indexed would re-gather internally).
             batch_codes = codes[shape_indices]
-            output = net.apply(params, batch_points, batch_codes, dtype=COMPUTE_DTYPE)
+            output = net.apply(params, batch_points, batch_codes, dtype=compute_dtype)
             return jnp.mean(jnp.abs(output - batch_sdf)) + SIGMA * jnp.mean(batch_codes**2)
 
         loss, (net_grads, code_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
