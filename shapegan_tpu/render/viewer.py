@@ -11,10 +11,14 @@ vertex.glsl/fragment.glsl/depth_*.glsl): a light-space depth pre-pass into a
 1024² shadow-map FBO, then a camera pass with PCF 3×3 + bilinear-lerp shadow
 lookup, rim light, and a floor plane darkened by the shadow factor.
 
-Two interchangeable backends share that pipeline:
+Three interchangeable backends share that pipeline:
   * GL (pygame + PyOpenGL) for interactive windows — the reference's path;
+  * headless GL (surfaceless EGL + Mesa, ``use_headless_gl``) — the SAME
+    shaders and draw calls without any display, rendering into an offscreen
+    FBO (exercised in CI against the software twin,
+    tests/test_software_render.py);
   * the native software rasterizer (render/software.py, C++/numpy) for
-    ``get_image`` on headless hosts — no display or GL context required.
+    ``get_image`` on hosts with no GL stack at all.
 This module touches no TPU state; when neither a display nor GL is available
 the viewer runs headless-only (trainers catch that in train/common.make_viewer)
 but ``get_image`` still works through the software backend.
@@ -30,6 +34,67 @@ import numpy as np
 from shapegan_tpu.render.software import SHADOW_TEXTURE_SIZE
 
 DEFAULT_ROTATION = (147.0, 20.0)
+
+_EGL_CONTEXT = None  # one surfaceless context per process (contexts leak otherwise)
+
+
+def _make_surfaceless_egl_context_current() -> None:
+    """Create (once) and bind a surfaceless EGL OpenGL context — Mesa's
+    display-less path (llvmpipe/swrast). Raises on hosts without a working
+    EGL stack; callers treat that as 'no GL' and use the software twin."""
+    global _EGL_CONTEXT
+    import ctypes
+
+    EGL_PLATFORM_SURFACELESS_MESA = 0x31DD
+    EGL_SURFACE_TYPE = 0x3033
+    EGL_RENDERABLE_TYPE = 0x3040
+    EGL_OPENGL_BIT = 0x0008
+    EGL_NONE = 0x3038
+    EGL_OPENGL_API = 0x30A2
+    EGL_NO_SURFACE = None
+
+    egl = ctypes.CDLL("libEGL.so.1")
+    egl.eglGetPlatformDisplay.restype = ctypes.c_void_p
+    egl.eglGetPlatformDisplay.argtypes = [ctypes.c_uint, ctypes.c_void_p, ctypes.c_void_p]
+    egl.eglInitialize.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)
+    ]
+    egl.eglChooseConfig.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+    ]
+    egl.eglCreateContext.restype = ctypes.c_void_p
+    egl.eglCreateContext.argtypes = [ctypes.c_void_p] * 4
+    egl.eglMakeCurrent.argtypes = [ctypes.c_void_p] * 4
+
+    if _EGL_CONTEXT is not None:
+        dpy, ctx = _EGL_CONTEXT
+        if not egl.eglMakeCurrent(dpy, EGL_NO_SURFACE, EGL_NO_SURFACE, ctx):
+            raise RuntimeError("headless GL: eglMakeCurrent failed on cached context")
+        return
+
+    dpy = egl.eglGetPlatformDisplay(EGL_PLATFORM_SURFACELESS_MESA, None, None)
+    if not dpy:
+        raise RuntimeError("headless GL: no surfaceless EGL display")
+    major, minor = ctypes.c_int(), ctypes.c_int()
+    if not egl.eglInitialize(dpy, ctypes.byref(major), ctypes.byref(minor)):
+        raise RuntimeError("headless GL: eglInitialize failed")
+    attribs = (ctypes.c_int * 5)(
+        EGL_SURFACE_TYPE, 0, EGL_RENDERABLE_TYPE, EGL_OPENGL_BIT, EGL_NONE
+    )
+    config, num = ctypes.c_void_p(), ctypes.c_int()
+    if not egl.eglChooseConfig(dpy, attribs, ctypes.byref(config), 1, ctypes.byref(num)):
+        raise RuntimeError("headless GL: eglChooseConfig failed")
+    if not egl.eglBindAPI(EGL_OPENGL_API):
+        raise RuntimeError("headless GL: desktop OpenGL API unavailable")
+    ctx = egl.eglCreateContext(dpy, config if num.value else None, None, None)
+    if not ctx:
+        raise RuntimeError("headless GL: eglCreateContext failed")
+    if not egl.eglMakeCurrent(dpy, EGL_NO_SURFACE, EGL_NO_SURFACE, ctx):
+        raise RuntimeError(
+            "headless GL: eglMakeCurrent failed (no EGL_KHR_surfaceless_context?)"
+        )
+    _EGL_CONTEXT = (dpy, ctx)
 
 # Shading pipeline with pixel parity to the reference's GL output
 # (fragment.glsl:9-73 semantics, derived constants: ambient 0.5, diffuse 0.5,
@@ -266,7 +331,65 @@ class MeshRenderer:
         pygame.init()
         pygame.display.set_mode((self.size, self.size), pygame.OPENGL | pygame.DOUBLEBUF)
         pygame.display.set_caption("shapegan_tpu viewer")
+        self._init_gl_objects(GL)
+        self._window = True
 
+    def use_headless_gl(self) -> None:
+        """Run the REAL GL pipeline (same GLSL, same draw calls) without a
+        display: a surfaceless-EGL context (Mesa llvmpipe/swrast) rendering
+        into an offscreen FBO. After this, ``get_image`` reads back GL frames
+        instead of the software rasterizer. Raises when no EGL/GL stack is
+        available (callers fall back to the software twin).
+
+        Parity note: the reference's renderer always needs a window
+        (rendering/__init__.py:174-196); this gives its exact pipeline on
+        headless hosts too."""
+        import sys
+
+        if "OpenGL" not in sys.modules:
+            # PyOpenGL resolves its function loader at import time; without a
+            # display only the EGL loader works.
+            import os
+
+            os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+        else:
+            from OpenGL.platform import PLATFORM
+
+            if "EGL" not in type(PLATFORM).__name__:
+                raise RuntimeError(
+                    "headless GL needs PyOpenGL's EGL loader, but OpenGL was "
+                    f"already imported with {type(PLATFORM).__name__}; set "
+                    "PYOPENGL_PLATFORM=egl before the first OpenGL import"
+                )
+        _make_surfaceless_egl_context_current()
+        from OpenGL import GL
+
+        self._init_gl_objects(GL)
+
+        # Surfaceless contexts have no default framebuffer — draw into an
+        # offscreen FBO instead of framebuffer 0.
+        self._offscreen_fbo = GL.glGenFramebuffers(1)
+        GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, self._offscreen_fbo)
+        color_rb = GL.glGenRenderbuffers(1)
+        GL.glBindRenderbuffer(GL.GL_RENDERBUFFER, color_rb)
+        GL.glRenderbufferStorage(GL.GL_RENDERBUFFER, GL.GL_RGB8, self.size, self.size)
+        GL.glFramebufferRenderbuffer(GL.GL_FRAMEBUFFER, GL.GL_COLOR_ATTACHMENT0,
+                                     GL.GL_RENDERBUFFER, color_rb)
+        depth_rb = GL.glGenRenderbuffers(1)
+        GL.glBindRenderbuffer(GL.GL_RENDERBUFFER, depth_rb)
+        GL.glRenderbufferStorage(GL.GL_RENDERBUFFER, GL.GL_DEPTH_COMPONENT24,
+                                 self.size, self.size)
+        GL.glFramebufferRenderbuffer(GL.GL_FRAMEBUFFER, GL.GL_DEPTH_ATTACHMENT,
+                                     GL.GL_RENDERBUFFER, depth_rb)
+        if GL.glCheckFramebufferStatus(GL.GL_FRAMEBUFFER) != GL.GL_FRAMEBUFFER_COMPLETE:
+            raise RuntimeError("headless GL: offscreen framebuffer incomplete")
+        self._target_fbo = int(self._offscreen_fbo)
+        self._window = True
+
+    def _init_gl_objects(self, GL):
+        """GL state shared by the windowed and headless paths: shader
+        programs, the shadow-map FBO, and the vertex buffers."""
+        self._target_fbo = 0
         self._program = self._compile_program(GL, VERTEX_SHADER, FRAGMENT_SHADER)
         self._depth_program = self._compile_program(
             GL, DEPTH_VERTEX_SHADER, DEPTH_FRAGMENT_SHADER
@@ -312,7 +435,6 @@ class MeshRenderer:
                         GL.GL_STATIC_DRAW)
 
         GL.glEnable(GL.GL_DEPTH_TEST)
-        self._window = True
 
     def _upload(self):
         from OpenGL import GL
@@ -367,9 +489,9 @@ class MeshRenderer:
             self._bind_attributes(self._depth_program, self._vbo_positions,
                                   self._vbo_normals, use_normals=False)
             GL.glDrawArrays(GL.GL_TRIANGLES, 0, self._vertex_count)
-        GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, 0)
-
-        # Pass 2 — camera pass with shadow lookup.
+        # Pass 2 — camera pass with shadow lookup (into the window's default
+        # framebuffer, or the offscreen FBO on the headless-GL path).
+        GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, getattr(self, "_target_fbo", 0))
         GL.glViewport(0, 0, self.size, self.size)
         GL.glClearColor(*self.background_color)
         GL.glClear(GL.GL_COLOR_BUFFER_BIT | GL.GL_DEPTH_BUFFER_BIT)
@@ -445,6 +567,7 @@ class MeshRenderer:
         if self._window is None:
             self._init_gl()
         self._draw()
+        GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, getattr(self, "_target_fbo", 0))
         data = GL.glReadPixels(0, 0, self.size, self.size, GL.GL_RGB, GL.GL_UNSIGNED_BYTE)
         return np.frombuffer(data, np.uint8).reshape(self.size, self.size, 3)[::-1]
 

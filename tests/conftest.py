@@ -9,6 +9,11 @@ after import, which wins over anything a sitecustomize hook re-exports.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# PyOpenGL binds its function loader at first import; on this display-less CI
+# host only the EGL loader can drive the viewer's headless surfaceless-GL
+# path (test_software_render.py). Harmless for every other test: the pygame
+# window init fails before any GL call either way.
+os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
