@@ -73,7 +73,44 @@ def main():
     stage("SDF autodecoder", autodecoder)
     stage("autoencoder", autoencoder)
     stage("classifier", classifier)
+    stage("bundle examples", bundle_examples)
     print(f"[make_examples] all demo checkpoints ready in {time.time() - t0:.1f}s")
+
+
+def bundle_examples(model_dir: str = "models"):
+    """Repackage the demo-relevant checkpoints as bundled examples.
+
+    Writes fp16, optimizer-stripped, compressed copies into
+    ``shapegan_tpu/examples/`` — the fallback ``checkpoints.load`` uses on a
+    fresh clone (mirroring the reference's shipped pretrained generators,
+    /root/reference/examples/). Optimizer moments and epoch counters are
+    training state, not demo state, and double-to-triple the artifact size.
+    """
+    import os
+
+    import numpy as np
+
+    from shapegan_tpu.checkpoints import EXAMPLES_PATH
+
+    artifacts = [
+        "generator", "wgan-generator", "sdf_net", "sdf_net_latent_codes",
+        "autoencoder-128",
+    ]
+    os.makedirs(EXAMPLES_PATH, exist_ok=True)
+    for name in artifacts:
+        src = os.path.join(model_dir, f"{name}.npz")
+        out = {}
+        with np.load(src) as data:
+            for key in data.files:
+                if key.startswith("opt_state/") or key == "epoch":
+                    continue
+                value = data[key]
+                if value.dtype == np.float32:
+                    value = value.astype(np.float16)
+                out[key] = value
+        dst = os.path.join(EXAMPLES_PATH, f"{name}.npz")
+        np.savez_compressed(dst, **out)
+        print(f"[make_examples] bundled {dst} ({os.path.getsize(dst) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

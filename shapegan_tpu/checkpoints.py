@@ -23,6 +23,25 @@ import jax
 import numpy as np
 
 MODEL_PATH = "models"
+# Bundled demo checkpoints (fp16, optimizer state stripped) so the demos run
+# on a fresh clone — the reference ships pretrained generators the same way
+# (/root/reference/examples/gan_generator_voxels_*.to, README.md:75-78).
+# Only ``load``/``load_array`` fall back here (never ``exists``), so trainer
+# resume logic is unaffected: trainers probe ``exists`` first and start
+# fresh when the user has no checkpoint of their own.
+EXAMPLES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
+
+
+def _example_fallback(name: str, epoch: Optional[int], base: Optional[str]) -> Optional[str]:
+    """Bundled-example path to use instead, or None."""
+    if epoch is not None or (base or MODEL_PATH) != MODEL_PATH:
+        return None  # explicit snapshot/base requests never silently switch
+    candidate = os.path.join(EXAMPLES_PATH, f"{name}.npz")
+    if os.path.exists(candidate):
+        print(f"checkpoint models/{name}.npz not found; using bundled example "
+              f"{candidate} (run make_examples.py or a trainer to replace it)")
+        return candidate
+    return None
 
 
 def checkpoint_dir(base: Optional[str] = None) -> str:
@@ -73,6 +92,8 @@ def load(template: Any, name: str, epoch: Optional[int] = None, base: Optional[s
     this is what makes progressive-growth warm starts work.
     """
     path = get_filename(name, epoch, base)
+    if not os.path.exists(path):
+        path = _example_fallback(name, epoch, base) or path
     with np.load(path) as data:
         stored = {k: data[k] for k in data.files}
 
@@ -108,5 +129,7 @@ def save_array(array, name: str, epoch: Optional[int] = None, base: Optional[str
 
 def load_array(name: str, epoch: Optional[int] = None, base: Optional[str] = None) -> np.ndarray:
     path = get_filename(name, epoch, base)
+    if not os.path.exists(path):
+        path = _example_fallback(name, epoch, base) or path
     with np.load(path) as data:
         return data["array"]

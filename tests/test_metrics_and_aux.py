@@ -141,3 +141,38 @@ def test_bench_run_config_isolation(capsys):
     assert rec["metric"] == "broken" and "boom" in rec["error"]
     err = capsys.readouterr().err
     assert err.count("BENCH-ERROR") == 4  # 2 flaky retries + 2 failed attempts
+
+
+def test_quality_gate_thresholds():
+    """run_fixture_corpus.evaluate_gates: direction of every bound."""
+    import run_fixture_corpus as rfc
+
+    good = {"recon_chamfer": 0.001, "mmd_cd": 0.001, "cov_cd": 1.0,
+            "overfit_chamfer": 0.001}
+    assert rfc.evaluate_gates(good, rfc.DEFAULT_GATES) == []
+    bad = {"recon_chamfer": 1.0, "mmd_cd": 1.0, "cov_cd": 0.0,
+           "overfit_chamfer": float("inf")}
+    assert rfc.evaluate_gates(bad, rfc.DEFAULT_GATES) == [
+        "recon_chamfer", "mmd_cd", "cov_cd", "overfit_chamfer"]
+
+
+def test_bundled_example_fallback(tmp_path, monkeypatch, capsys):
+    """checkpoints.load falls back to shapegan_tpu/examples/ ONLY for the
+    default base with no epoch — trainer resume paths (explicit base or
+    exists() probes) must be unaffected."""
+    import pytest
+
+    from shapegan_tpu import checkpoints
+
+    monkeypatch.chdir(tmp_path)  # no models/ here: a fresh clone
+    codes = checkpoints.load_array("sdf_net_latent_codes")
+    assert codes.ndim == 2 and codes.shape[1] == 128
+    assert "bundled example" in capsys.readouterr().out
+    # exists() never consults the bundle
+    assert not checkpoints.exists("sdf_net_latent_codes")
+    # explicit non-default base: no silent fallback
+    with pytest.raises(FileNotFoundError):
+        checkpoints.load_array("sdf_net_latent_codes", base=str(tmp_path / "m"))
+    # epoch snapshots: no silent fallback
+    with pytest.raises(FileNotFoundError):
+        checkpoints.load_array("sdf_net_latent_codes", epoch=3)
