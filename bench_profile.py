@@ -11,6 +11,7 @@ jitted lax.scan (tunnel-latency-free; same methodology as bench.py).
 Usage: python bench_profile.py [iteration=N] [batch=N] [reps=N]
        python bench_profile.py raymarch=1 [resolution=N]   # live-lane decay
        python bench_profile.py stages=1                    # raymarch stage budget
+       python bench_profile.py coherence=1                 # block coherence of live lanes
        python bench_profile.py autodecoder=1 [reps=N]      # autodecoder step breakdown
        python bench_profile.py point_gan=1 [reps=N]        # point-GAN step breakdown
 
@@ -42,7 +43,7 @@ from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inf
 
 def parse_args(argv):
     opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400,
-            "stages": 0, "autodecoder": 0, "point_gan": 0}
+            "stages": 0, "autodecoder": 0, "point_gan": 0, "coherence": 0}
     for arg in argv:
         if "=" in arg:
             k, v = arg.split("=", 1)
@@ -235,6 +236,8 @@ def _dispatch():
         raymarch_decay(resolution=opts["resolution"])
     elif opts["stages"]:
         raymarch_stage_budget()
+    elif opts["coherence"]:
+        raymarch_block_coherence()
     elif opts["autodecoder"]:
         autodecoder_breakdown(reps=opts["reps"])
     elif opts["point_gan"]:
@@ -510,6 +513,49 @@ def raymarch_decay(resolution=400, iterations=500):
             print(f"iter {it:4d}: {counts[it-1]/n:.4f} active")
     tail = int(np.argmax(counts == 0)) if (counts == 0).any() else iterations
     print(f"all-resolved at iter {tail}")
+
+
+def raymarch_block_coherence(size=1600, chunks=11):
+    """Block-level coherence of the live lane set during the primary trace.
+
+    Decides whether compaction should gather contiguous lane *blocks*
+    (n/B gather descriptors instead of n — TPU random row transfers cost
+    ~15-25 ns per descriptor regardless of row width) at the price of a
+    block staying live while ANY of its lanes is. Measured on the overfit
+    chair (round 4): the early trace is block-coherent (B=32 within 5% of
+    the lane fraction at iter 0) but the post-iter-100 plateau — grazing-ray
+    oscillators, where the tail burns its masked iterations — is scattered
+    (lane 0.139 vs 0.286 at B=32, 0.366 at B=128), so block compaction
+    LOSES ~30n evals/frame against the ~16n-equivalent it saves in
+    compaction cost. Kept as the measurement behind that rejection
+    (BASELINE.md round-4 finding 3)."""
+    import bench
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.render import raymarching as rm
+
+    net, params0, code = bench._overfit_chair()
+    latent0 = jnp.asarray(np.zeros(0, np.float32))
+    params = sdf_mlp.fold_latent(params0, latent0)
+    latent = latent0[:0]
+    cam = jnp.asarray(rm.CAMERA_POSITION, jnp.float32)
+    points, dirs, entered = rm.camera_rays(cam, size, xp=jnp)
+    status = jnp.where(entered, rm._ACTIVE, rm._MISS)
+    n = size * size
+    blocks = [b for b in (32, 128, 256, 1024, 4096) if n % b == 0]
+
+    @jax.jit
+    def chunk20(points, status):
+        return rm._trace_staged("primary", params, latent, points, dirs,
+                                status, 20, 0.0005, 0.02, 0.0, 1.0, ())
+
+    print(f"# primary-trace live-lane block coherence, {size}^2 rays")
+    print(f"{'iter':>5s} {'lane':>7s} " + " ".join(f"B{b:>5d}" for b in blocks))
+    for step in range(chunks):
+        active = np.asarray(status) == rm._ACTIVE
+        cols = " ".join(
+            f"{active.reshape(-1, b).any(axis=1).mean():6.4f}" for b in blocks)
+        print(f"{step * 20:5d} {active.mean():7.4f} " + cols)
+        points, status = chunk20(points, status)
 
 
 def raymarch_stage_budget(size=1600, iterations=1000):

@@ -69,6 +69,9 @@ from shapegan_tpu.util import ensure_directory
 # ~1.7x fewer primary evaluations per frame.
 STAGE_ITERS = 100  # legacy first-stage budget (kept for small-n traces)
 TAIL_ITERS = 120
+# A/B switch for the rejected fused in-kernel trace path (see the note in
+# _trace_staged; flip only to re-measure).
+_FORCE_FUSED_TRACE = False
 
 
 def camera_rays(camera_position, size, radius=1.0, xp=np, basis=None):
@@ -139,12 +142,20 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     radius=radius, :165 leaves the 1.0 default)."""
     from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_best, trace_steps_fused
 
-    # On TPU the whole stage runs as ONE Pallas program: each ray tile stays
-    # resident in VMEM for every iteration of the stage (evaluate, clamp,
-    # advance, hit/miss test in-kernel), so lane-state HBM traffic amortizes
-    # over the stage length instead of being paid per iteration (which held
-    # the per-dispatch trace at ~98 M evals/s vs the kernel's ~158 M pts/s).
-    fused = jax.default_backend() == "tpu" and points.shape[0] >= 2048
+    # Trace iterations run as an XLA fori/while loop around the points
+    # kernel, NOT through ops/sdf_mlp_pallas.trace_steps_fused. The fused
+    # in-kernel trace (each ray tile resident in VMEM for all K iterations)
+    # was wired in round 3 on the theory that per-iteration lane-state HBM
+    # traffic bounded the trace — but at trace widths the lane state is only
+    # ~16 B/eval ≈ 2.4 GB/s against ~800 GB/s of HBM, and a value-pull
+    # re-measurement (round 4, k=20, widths 0.5–2 M) showed the XLA loop at
+    # 140–152 M evals/s vs the fused kernel's 88–92 M: the round-3 "win" was
+    # an artifact of the block_until_ready warm-up bleeding into the timed
+    # window (bench.py methodology note). The kernel stays available (tests
+    # + bench_profile) as a documented rejected experiment, selectable here
+    # for A/B via _FORCE_FUSED_TRACE.
+    fused = _FORCE_FUSED_TRACE and jax.default_backend() == "tpu" \
+        and points.shape[0] >= 2048
     trace_kw = dict(shadow=kind == "shadow", threshold=threshold,
                     step_clamp=step_clamp, sdf_offset=sdf_offset, radius=radius)
 
@@ -233,22 +244,35 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     # Compact ACTIVE lanes into the static bucket. Overflow lanes (rare
     # grazers beyond `size`) keep riding as ACTIVE in the source arrays and
     # fall out as hits, exactly like budget exhaustion.
+    #
+    # TPU random gathers/scatters run at a fixed ~15-25 ns *per row*
+    # regardless of row width (measured: a 2 M-row gather costs ~30 ms from
+    # (n,), (n,3) and (n,8) sources alike), so the lane payload is packed
+    # into ONE array each way — a single gather of [n, 6|7] down and a
+    # single scatter of [size, 4] back — instead of per-array transfers
+    # (which made each compaction ~240 ms and dominated the whole trace).
+    # status rides the scatter as a bitcast float lane.
     idx = jnp.nonzero(status == _ACTIVE, size=size, fill_value=n)[0]
-    pts_c = jnp.take(points, idx, axis=0, mode="fill", fill_value=2.0 * radius + 1.0)
-    dirs_c = jnp.take(directions, idx, axis=0, mode="fill", fill_value=0.0)
+    payload = [points, directions] if escape is None else \
+        [points, directions, escape[:, None]]
+    sub = jnp.take(jnp.concatenate(payload, axis=1), idx, axis=0,
+                   mode="fill", fill_value=0.0)
+    # Fill lanes start as MISS, so their (0,0,0) point/direction is inert.
+    pts_c, dirs_c = sub[:, :3], sub[:, 3:6]
+    esc_c = None if escape is None else sub[:, 6]
     status_c = jnp.where(idx < n, _ACTIVE, _MISS)
-    esc_c = None if escape is None else jnp.take(
-        escape, idx, mode="fill", fill_value=radius
-    )
 
     pts_c, status_c = _trace_staged(kind, params, latent, pts_c, dirs_c, status_c,
                                     budget, threshold, step_clamp, sdf_offset, radius, rest,
                                     tail_cap, esc_c)
 
     # Fill lanes carry idx == n and are dropped by the scatter.
+    as_f32 = lambda s: jax.lax.bitcast_convert_type(s, jnp.float32)[:, None]
+    dest = jnp.concatenate([points, as_f32(status)], axis=1).at[idx].set(
+        jnp.concatenate([pts_c, as_f32(status_c)], axis=1), mode="drop")
     return (
-        points.at[idx].set(pts_c, mode="drop"),
-        status.at[idx].set(status_c, mode="drop"),
+        dest[:, :3],
+        jax.lax.bitcast_convert_type(dest[:, 3], jnp.int32),
     )
 
 
@@ -264,19 +288,20 @@ def _default_schedule(kind, n, iterations):
         # in ~20-40 steps; compact early.
         return ((40, -(-n // 4)),)
     # Primary, sized from the measured decay (bench_profile raymarch=1:
-    # entered 78%, active 55% @40 / 38% @60 / 22% @80 / 15% @100, plateau
-    # 14.6%) with ~1.3x headroom per bucket — except the iter-0 bucket,
+    # entered 78%, active 55% @40 / 38% @60 / 23% @80 / 15% @100, plateau
+    # 15.0%) with ~1.3x headroom per bucket — except the iter-0 bucket,
     # which is exact: non-entered lanes are deterministic misses of the
-    # camera geometry, not shape-dependent. With the in-kernel-projection
-    # points kernel the trace is compute-bound, so bucket width IS eval
-    # cost: this schedule runs ~85n evaluations/frame vs 129n for the
-    # round-2 schedule (whose mid-buckets carried 2.4x headroom).
+    # camera geometry, not shape-dependent. Compaction is NOT free on TPU
+    # (one packed gather + scatter ≈ 7-9n evaluations' worth of time —
+    # random row transfers cost ~15-25 ns/row regardless of width), so the
+    # stage count is chosen against that price: this 3-stage schedule runs
+    # ~92n evaluations + 3 compactions/frame, which measures faster than
+    # both the round-3 5-stage schedule (~86n + 5 compactions) and any
+    # flat-width alternative.
     return (
         (0, -(-n * 4 // 5)),
-        (40, -(-n * 18 // 25)),
-        (20, -(-n // 2)),
-        (20, -(-n * 3 // 10)),
-        (20, -(-n // 5)),
+        (60, -(-n // 2)),
+        (40, -(-n // 5)),
     )
 
 
