@@ -212,6 +212,54 @@ def test_shadow_bucket_holds_full_frame_mask():
         assert corner.min() >= 250, corner
 
 
+def test_trace_compaction_is_semantics_preserving():
+    """The staged trace's packed compaction (one [n,6|7] gather down + one
+    [size,4] scatter back with the status bitcast into a float lane —
+    render/raymarching.py:_trace_staged) must be bitwise invisible: a
+    schedule with real bucket sizes must produce EXACTLY the points/status
+    of the same stage structure with no-op buckets (size >= n skips the
+    gather/scatter). Uses a random-init net with a positive sdf_offset so
+    lanes march slowly and irregularly — active across every stage
+    boundary, decaying gradually, hit/miss mix at the end."""
+    import jax.numpy as jnp
+
+    from shapegan_tpu.models.sdf_net import SDFNet
+    from shapegan_tpu.render import raymarching as rm
+
+    net = SDFNet(latent_code_size=0, breadth=16)
+    params = net.init(jax.random.PRNGKey(3))
+    latent = jnp.zeros(0)
+
+    cam = jnp.asarray(rm.CAMERA_POSITION, jnp.float32)
+    points, dirs, entered = rm.camera_rays(cam, 72, xp=jnp)  # n=5184 > 2048
+    status0 = jnp.where(entered, rm._ACTIVE, rm._MISS)
+    n = points.shape[0]
+
+    def run(kind, schedule, escape=None):
+        fn = jax.jit(lambda p, s: rm._trace_staged(
+            kind, params, latent, p, dirs, s, 220, 0.0005, 0.02, 0.03, 1.0,
+            schedule, tail_cap=120, escape=escape))
+        pts, st = fn(points, status0)
+        return np.asarray(pts), np.asarray(st)
+
+    # Generous buckets so no lane overflows (overflow degrades lanes
+    # conservatively, which is correct but not bit-identical).
+    real = ((0, -(-n * 9 // 10)), (60, -(-n * 3 // 4)), (40, -(-n // 2)))
+    noop = ((0, n), (60, n), (40, n))
+    p_real, s_real = run("primary", real)
+    p_flat, s_flat = run("primary", noop)
+    np.testing.assert_array_equal(s_real, s_flat)
+    np.testing.assert_array_equal(p_real, p_flat)
+    assert set(np.unique(s_real)) <= {rm._ACTIVE, rm._HIT, rm._MISS}
+
+    # Shadow kind packs a 7th payload column (per-lane escape heights).
+    esc = jnp.where(jnp.arange(n) % 2 == 0, 1.0, 0.6)
+    p_real, s_real = run("shadow", ((40, -(-n * 3 // 4)),), escape=esc)
+    p_flat, s_flat = run("shadow", ((40, n),), escape=esc)
+    np.testing.assert_array_equal(s_real, s_flat)
+    np.testing.assert_array_equal(p_real, p_flat)
+
+
 def test_lanczos_downsample_matches_pil():
     """The on-device SSAA downsample vs PIL's Image.LANCZOS (the reference's
     resize, raymarching.py:176-177). Interior pixels must agree to within
