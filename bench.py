@@ -462,41 +462,51 @@ def bench_autodecoder():
 def bench_point_gan():
     """BASELINE.json config 5b: point-GAN WGAN-GP steps at curriculum stage
     (4096 points, batch 32) — critic step every batch + generator every 5th
-    (reference train_point_gan.py:31-38,61-77). vs_baseline: fp32-highest
-    matmul precision (reference fp32 cuBLAS numerics)."""
-    from shapegan_tpu.train import point_gan
-
-    generator, discriminator, g_params, d_params = point_gan.create_models(seed=0)
+    (reference train_point_gan.py:31-38,61-77). vs_baseline: fp32 activations
+    at fp32-highest matmul precision (reference fp32 cuBLAS numerics) —
+    built from a SEPARATE fp32-dtype model pair, since the production models
+    carry bf16 compute dtype and a precision context alone would not undo
+    their activation casts."""
     import optax
 
-    g_tx = optax.rmsprop(1e-4)
-    d_tx = optax.rmsprop(1e-4)
-    d_step, g_step = point_gan.make_steps(generator, discriminator, g_tx, d_tx)
+    from shapegan_tpu.train import point_gan
+
     n_points, batch = 4096, 32
     u = jax.random.uniform(jax.random.PRNGKey(1), (batch, n_points, 4), minval=-1, maxval=1)
     u_pos, u_dist = u[..., :3], u[..., 3:]
+    g_tx = optax.rmsprop(1e-4)
+    d_tx = optax.rmsprop(1e-4)
 
-    def step(carry, i):
-        g_params, g_opt, d_params, d_opt = carry
-        rng = jax.random.fold_in(jax.random.PRNGKey(5), i)
-        drng, grng = jax.random.split(rng)
-        d_params, d_opt, _, _ = d_step(g_params, d_params, d_opt, u_pos, u_dist, drng)
+    def make_step(dtype):
+        generator, discriminator, g_params, d_params = point_gan.create_models(
+            seed=0, dtype=dtype)
+        d_step, g_step = point_gan.make_steps(generator, discriminator, g_tx, d_tx)
 
-        def g_update(args):
-            g_params, g_opt = args
-            return g_step(g_params, g_opt, d_params, u_pos, grng)[:2]
+        def step(carry, i):
+            g_params, g_opt, d_params, d_opt = carry
+            rng = jax.random.fold_in(jax.random.PRNGKey(5), i)
+            drng, grng = jax.random.split(rng)
+            d_params, d_opt, _, _ = d_step(g_params, d_params, d_opt, u_pos, u_dist, drng)
 
-        g_params, g_opt = jax.lax.cond(i % 5 == 0, g_update, lambda a: a, (g_params, g_opt))
-        return (g_params, g_opt, d_params, d_opt)
+            def g_update(args):
+                g_params, g_opt = args
+                return g_step(g_params, g_opt, d_params, u_pos, grng)[:2]
 
-    state = (g_params, g_tx.init(g_params), d_params, d_tx.init(d_params))
+            g_params, g_opt = jax.lax.cond(i % 5 == 0, g_update, lambda a: a, (g_params, g_opt))
+            return (g_params, g_opt, d_params, d_opt)
+
+        return step, (g_params, g_tx.init(g_params), d_params, d_tx.init(d_params))
+
+    step, state = make_step(point_gan.COMPUTE_DTYPE)
     t_ours = _timed_state_scan(step, state, GAN_STEPS)
+
+    step_f32, state_f32 = make_step(jnp.float32)
 
     def step_hi(carry, i):
         with jax.default_matmul_precision("highest"):
-            return step(carry, i)
+            return step_f32(carry, i)
 
-    t_ref = _timed_state_scan(step_hi, state, GAN_STEPS)
+    t_ref = _timed_state_scan(step_hi, state_f32, GAN_STEPS)
     return {
         "metric": "point_gan_steps_per_sec_4096",
         "value": round(1.0 / t_ours, 2),

@@ -297,10 +297,13 @@ def point_gan_breakdown(n_points=4096, batch=32, reps=20):
 
         return step
 
+    # Production G step runs the generator fp32 (point_gan.make_steps).
+    generator_g = generator.clone(dtype=jnp.float32)
+
     def g_step(carry, i):
         def g_loss(gp, rng):
             z = jax.random.normal(rng, (batch, point_gan.LATENT_SIZE))
-            fake = generator.apply({"params": gp}, u_pos, z)
+            fake = generator_g.apply({"params": gp}, u_pos, z)
             return -jnp.mean(discriminator.apply({"params": d_params}, u_pos, fake)[..., 0])
 
         gp_c, opt = carry
@@ -314,10 +317,37 @@ def point_gan_breakdown(n_points=4096, batch=32, reps=20):
     t_nofake = _timed_state_scan(make_d_step(True, False), d_state, reps)
     t_g = _timed_state_scan(g_step, (g_params, g_tx.init(g_params)), reps)
 
+    # fp32-activation full critic step (the pre-round-4 production numerics):
+    # a separate fp32-dtype model pair over the SAME params — a precision
+    # context alone would not undo the production models' bf16 casts.
+    gen_f32, disc_f32, _, _ = point_gan.create_models(seed=0, dtype=jnp.float32)
+
+    def d_step_f32(carry, i):
+        def d_loss(d_params, rng):
+            z_rng, gp_rng = jax.random.split(rng)
+            z = jax.random.normal(z_rng, (batch, point_gan.LATENT_SIZE))
+            fake = jax.lax.stop_gradient(gen_f32.apply({"params": g_params}, u_pos, z))
+            critic = lambda dist: disc_f32.apply(
+                {"params": d_params}, u_pos, dist)[..., 0]
+            loss = jnp.mean(critic(fake)) - jnp.mean(critic(u_dist))
+            alpha = jax.random.uniform(gp_rng, (batch, 1, 1))
+            interp = alpha * u_dist + (1.0 - alpha) * fake
+            grads = jax.grad(lambda d: jnp.sum(critic(d)))(interp)
+            norms = jnp.sqrt(jnp.sum(grads**2, axis=(1, 2)) + 1e-12)
+            return loss + point_gan.GRADIENT_PENALTY * jnp.mean((norms - 1.0) ** 2)
+
+        d_params, opt = carry
+        grads = jax.grad(d_loss)(d_params, jax.random.fold_in(jax.random.PRNGKey(11), i))
+        upd, opt = d_tx.update(grads, opt, d_params)
+        return optax.apply_updates(d_params, upd), opt
+
+    t_full_f32 = _timed_state_scan(d_step_f32, d_state, reps)
+
     def row(name, t):
         print(f"{name:<34s} {t * 1e3:8.2f} ms")
 
     row("full critic step (evolving)", t_full)
+    row("full critic step, fp32 activations", t_full_f32)
     row("  - fake generation (ablated)", t_full - t_nofake)
     row("  - GP double-grad (ablated)", t_full - t_nogp)
     row("  - base WGAN critic (residual)", t_nofake + t_nogp - t_full)

@@ -13,7 +13,7 @@ Parity with /root/reference/model/point_sdf_net.py:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -23,9 +23,18 @@ from shapegan_tpu.models import make_torch_bias_init, torch_uniform_init
 
 
 class PointNet(nn.Module):
-    """(pos, sdf) point-set critic. ``out_channels=1`` for the WGAN critic."""
+    """(pos, sdf) point-set critic. ``out_channels=1`` for the WGAN critic.
+
+    ``dtype`` is the computation/activation dtype (params stay fp32, the
+    returned logits are fp32): at the trainer workloads (batch 32 × 4096
+    points) every layer is HBM-bandwidth-bound on its activation traffic
+    (~64-512 fp32 channels × 131k rows), so bf16 activations halve the
+    step's dominant cost — the same master-weight scheme as the
+    autodecoder's (train/sdf_autodecoder.py COMPUTE_DTYPE), gated by the
+    same grad-cosine test (tests/test_train_point_gan.py)."""
 
     out_channels: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -46,7 +55,8 @@ class PointNet(nn.Module):
         x = jnp.concatenate([pos, dist], axis=-1)
 
         dense = lambda f, fan: nn.Dense(
-            f, kernel_init=torch_uniform_init, bias_init=make_torch_bias_init(fan)
+            f, kernel_init=torch_uniform_init, bias_init=make_torch_bias_init(fan),
+            dtype=self.dtype,
         )
         for features in (64, 128, 256):
             x = nn.relu(dense(features, x.shape[-1])(x))
@@ -63,7 +73,7 @@ class PointNet(nn.Module):
 
         for features in (256, 128):
             x = nn.relu(dense(features, x.shape[-1])(x))
-        return dense(self.out_channels, x.shape[-1])(x)
+        return dense(self.out_channels, x.shape[-1])(x).astype(jnp.float32)
 
 
 class SDFGenerator(nn.Module):
@@ -78,6 +88,10 @@ class SDFGenerator(nn.Module):
     num_layers: int = 8
     norm: bool = True
     dropout: float = 0.0
+    # Computation/activation dtype; params and returned SDF values stay
+    # fp32 (see PointNet.dtype). flax LayerNorm computes its statistics in
+    # fp32 regardless, so bf16 here only touches matmul/activation traffic.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pos, z, *, train: bool = False, rng: Optional[jax.Array] = None):
@@ -93,11 +107,13 @@ class SDFGenerator(nn.Module):
         z_dense = lambda name: nn.Dense(
             self.hidden_channels, kernel_init=torch_uniform_init,
             bias_init=make_torch_bias_init(self.latent_channels), name=name,
+            dtype=self.dtype,
         )
         z1 = z_dense("z_lin1")(z)
         z2 = z_dense("z_lin2")(z)
 
         dropout_rng = rng
+        pos = pos.astype(self.dtype)
         x = pos
         for i in range(self.num_layers):
             if i == half:
@@ -106,6 +122,7 @@ class SDFGenerator(nn.Module):
             x = nn.Dense(
                 out_features, kernel_init=torch_uniform_init,
                 bias_init=make_torch_bias_init(x.shape[-1]), name=f"lin{i}",
+                dtype=self.dtype,
             )(x)
             if i == 0:
                 x = x + z1[:, None, :]
@@ -113,7 +130,7 @@ class SDFGenerator(nn.Module):
                 x = x + z2[:, None, :]
             if i < self.num_layers - 1:
                 if self.norm:
-                    x = nn.LayerNorm(name=f"norm{i}")(x)
+                    x = nn.LayerNorm(name=f"norm{i}", dtype=self.dtype)(x)
                 x = nn.relu(x)
                 if self.dropout > 0.0 and train:
                     if dropout_rng is None:
@@ -121,4 +138,4 @@ class SDFGenerator(nn.Module):
                     dropout_rng, sub = jax.random.split(dropout_rng)
                     keep = jax.random.bernoulli(sub, 1.0 - self.dropout, x.shape)
                     x = jnp.where(keep, x / (1.0 - self.dropout), 0.0)
-        return x
+        return x.astype(jnp.float32)

@@ -36,6 +36,24 @@ HIDDEN_SIZE = 256
 NUM_LAYERS = 8
 LEARN_RATE = 1e-4
 GENERATOR_UPDATE_EVERY = 5
+# Computation/activation dtype for the bandwidth-bound passes. At the
+# curriculum workloads (e.g. 4096 pts × batch 32 = 131k rows × 256-512
+# channels) every layer is HBM-bandwidth-bound on fp32 activation traffic,
+# so bf16 activations with fp32 master weights are the autodecoder's
+# master-weight scheme applied here (train/sdf_autodecoder.py
+# COMPUTE_DTYPE). Where it is applied is chosen by measured grad fidelity
+# (tests/test_train_point_gan.py::test_bf16_compute_grads_track_fp32):
+#   * the critic runs bf16 everywhere (D-step grads track fp32 at
+#     cosine 0.98 with the fake sample held fixed);
+#   * the D-step's fake generation runs bf16 under stop_gradient (the
+#     cloud is a GAN sample — bf16 perturbs it ~1e-2, which is sampling
+#     noise, not gradient bias);
+#   * the G step differentiates an fp32 generator through the bf16 critic
+#     (cosine 0.98; an all-bf16 G step composes both backward errors and
+#     measured 0.93 — too low for WGAN-GP's norm-sensitive training).
+# LayerNorm statistics, the WGAN/GP losses and the gradient-penalty norms
+# all stay fp32 (the models return fp32 logits/SDF values).
+COMPUTE_DTYPE = jnp.bfloat16
 
 # (num_points, batch_size, epochs) — reference :31-38
 CURRICULUM = [
@@ -52,11 +70,12 @@ D_NAME = "point_gan_discriminator"
 OPT_NAME = "point_gan_optimizer"
 
 
-def create_models(seed: int = 0):
+def create_models(seed: int = 0, dtype=COMPUTE_DTYPE):
     generator = SDFGenerator(
-        latent_channels=LATENT_SIZE, hidden_channels=HIDDEN_SIZE, num_layers=NUM_LAYERS, norm=True
+        latent_channels=LATENT_SIZE, hidden_channels=HIDDEN_SIZE, num_layers=NUM_LAYERS,
+        norm=True, dtype=dtype,
     )
-    discriminator = PointNet(out_channels=1)
+    discriminator = PointNet(out_channels=1, dtype=dtype)
     g_rng, d_rng = jax.random.split(jax.random.PRNGKey(seed))
     pos = jnp.zeros((2, 64, 3))
     g_params = generator.init(g_rng, pos, jnp.zeros((2, LATENT_SIZE)))["params"]
@@ -65,6 +84,10 @@ def create_models(seed: int = 0):
 
 
 def make_steps(generator: SDFGenerator, discriminator: PointNet, g_tx, d_tx):
+    # The G step differentiates the generator itself: run it fp32 there
+    # (see the COMPUTE_DTYPE note; params are shared, dtype is compute-only).
+    generator_g = generator.clone(dtype=jnp.float32)
+
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def d_step(g_params, d_params, d_opt_state, u_pos, u_dist, rng):
         z_rng, gp_rng = jax.random.split(rng)
@@ -97,7 +120,7 @@ def make_steps(generator: SDFGenerator, discriminator: PointNet, g_tx, d_tx):
         z = jax.random.normal(rng, (u_pos.shape[0], LATENT_SIZE))
 
         def loss_fn(g_params):
-            fake = generator.apply({"params": g_params}, u_pos, z)
+            fake = generator_g.apply({"params": g_params}, u_pos, z)
             out = discriminator.apply({"params": d_params}, u_pos, fake)[..., 0]
             return -jnp.mean(out)
 

@@ -86,6 +86,13 @@ def mixed_batch(u_pos, u_dist, s_pos, s_dist, rng):
 
 
 def make_steps(generator: SDFGenerator, discriminator: PointNet, g_tx, d_tx):
+    # Same mixed-precision split as stage 1 (train/point_gan.py
+    # COMPUTE_DTYPE note): the D step's refined fake is a stop-gradient
+    # sample (bf16 position noise ~0.004 is below the 0.0025-jitter scale
+    # it already carries), but the G step differentiates refine() — a
+    # double grad through the generator — so it runs the generator fp32.
+    generator_g = generator.clone(dtype=jnp.float32)
+
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def d_step(g_params, d_params, d_opt_state, u_pos, u_dist, s_pos, s_dist, rng):
         z_rng, ref_rng, mix_rng1, mix_rng2, gp_rng = jax.random.split(rng, 5)
@@ -124,7 +131,7 @@ def make_steps(generator: SDFGenerator, discriminator: PointNet, g_tx, d_tx):
         z = jax.random.normal(z_rng, (u_pos.shape[0], LATENT_SIZE))
 
         def loss_fn(g_params):
-            fake = refine(generator, g_params, u_pos, z, ref_rng)
+            fake = refine(generator_g, g_params, u_pos, z, ref_rng)
             pos, dist, mask = mixed_batch(*fake, mix_rng)
             out = discriminator.apply({"params": d_params}, pos, dist, mask=mask)[..., 0]
             return -jnp.mean(out)

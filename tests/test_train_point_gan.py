@@ -98,3 +98,56 @@ def test_point_gan_full_loop(tmp_path, monkeypatch):
     assert checkpoints.exists(pg.G_NAME, base=config.model_dir)
     pgr.train(config, curriculum=[(128, 2, 1)])
     assert checkpoints.exists(pgr.G_NAME, base=config.model_dir)
+
+
+def test_bf16_compute_grads_track_fp32():
+    """Gate for the production mixed-precision split (pg.COMPUTE_DTYPE
+    note): the bf16 critic's WGAN-GP grads must track the fp32 truth with
+    the fake sample held FIXED (the sample itself is stochastic — bf16
+    perturbs it within sampling noise, asserted separately), and the G
+    step's grads (fp32 generator through the bf16 critic — exactly
+    make_steps' combination) must track an all-fp32 G step."""
+    batch, n_points = 4, 256
+    gen16, disc16, g_params, d_params = pg.create_models(seed=0, dtype=jnp.bfloat16)
+    gen32, disc32, _, _ = pg.create_models(seed=0, dtype=jnp.float32)
+
+    u = jax.random.uniform(jax.random.PRNGKey(1), (batch, n_points, 4),
+                           minval=-1, maxval=1)
+    u_pos, u_dist = u[..., :3], u[..., 3:]
+    z = jax.random.normal(jax.random.PRNGKey(2), (batch, pg.LATENT_SIZE))
+    alpha = jax.random.uniform(jax.random.PRNGKey(3), (batch, 1, 1))
+
+    # The bf16 fake cloud is the fp32 one within bf16 rounding noise
+    # (relative to the cloud's scale), i.e. a valid sample.
+    fake16 = gen16.apply({"params": g_params}, u_pos, z)
+    fake = gen32.apply({"params": g_params}, u_pos, z)
+    scale = float(jnp.abs(fake).max())
+    assert float(jnp.abs(fake16 - fake).max()) < 0.05 * scale
+
+    def d_loss(dp, disc):
+        critic = lambda dist: disc.apply({"params": dp}, u_pos, dist)[..., 0]
+        loss = jnp.mean(critic(fake)) - jnp.mean(critic(u_dist))
+        interp = alpha * u_dist + (1.0 - alpha) * fake
+        grads = jax.grad(lambda d: jnp.sum(critic(d)))(interp)
+        norms = jnp.sqrt(jnp.sum(grads**2, axis=(1, 2)) + 1e-12)
+        return loss + pg.GRADIENT_PENALTY * jnp.mean((norms - 1.0) ** 2)
+
+    def g_loss(gp_, gen, disc):
+        out = disc.apply({"params": d_params}, u_pos,
+                         gen.apply({"params": gp_}, u_pos, z))[..., 0]
+        return -jnp.mean(out)
+
+    def cosine(g16, g32):
+        flat16 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g16)])
+        flat32 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g32)])
+        return float(jnp.vdot(flat16, flat32) /
+                     (jnp.linalg.norm(flat16) * jnp.linalg.norm(flat32)))
+
+    assert cosine(jax.grad(d_loss)(d_params, disc16),
+                  jax.grad(d_loss)(d_params, disc32)) > 0.97
+    assert cosine(jax.grad(g_loss)(g_params, gen32, disc16),
+                  jax.grad(g_loss)(g_params, gen32, disc32)) > 0.97
+    # The rejected all-bf16 G step (documented in the COMPUTE_DTYPE note)
+    # composes both backward errors — keep the record that it is worse.
+    assert cosine(jax.grad(g_loss)(g_params, gen16, disc16),
+                  jax.grad(g_loss)(g_params, gen32, disc32)) < 0.97
