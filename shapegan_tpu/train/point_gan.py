@@ -27,6 +27,7 @@ from shapegan_tpu import checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
 from shapegan_tpu.data.datasets import BatchLoader, PointDataset
 from shapegan_tpu.models.point_sdf_net import PointNet, SDFGenerator
+from shapegan_tpu.ops.point_gen_pallas import generate_best
 from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
 from shapegan_tpu.train.common import CSVLogger, EpochTimer, StepProfiler
 
@@ -92,7 +93,11 @@ def make_steps(generator: SDFGenerator, discriminator: PointNet, g_tx, d_tx):
     def d_step(g_params, d_params, d_opt_state, u_pos, u_dist, rng):
         z_rng, gp_rng = jax.random.split(rng)
         z = jax.random.normal(z_rng, (u_pos.shape[0], LATENT_SIZE))
-        fake = jax.lax.stop_gradient(generator.apply({"params": g_params}, u_pos, z))
+        # Forward-only fake generation through generate_best: XLA today —
+        # a fused Pallas generator kernel was measured SLOWER than XLA's
+        # fused matmul+LN+relu forward and rejected (ops/point_gen_pallas.py
+        # module note). stop_gradient either way.
+        fake = jax.lax.stop_gradient(generate_best(generator, g_params, u_pos, z))
 
         def loss_fn(d_params):
             critic = lambda dist: discriminator.apply({"params": d_params}, u_pos, dist)[..., 0]

@@ -351,3 +351,25 @@ def test_rowwise_vjp_matches_xla_interpreted():
         err_bf16 = np.abs(b - t).max() / scale
         err_fused = np.abs(f - t).max() / scale
         assert err_fused < 2.0 * err_bf16 + 0.02, (err_fused, err_bf16)
+
+
+def test_point_generator_fused_matches_flax_interpreted():
+    """ops/point_gen_pallas.generate_fused vs SDFGenerator.apply (bf16
+    dtype): in-kernel fp32 LayerNorm, additive latents at layers 0 and n/2,
+    positional-skip fan-in split, raw head. Multi-tile + multi-item so the
+    per-item zz index map (j // tiles_per_item) is exercised."""
+    from shapegan_tpu.models.point_sdf_net import SDFGenerator
+    from shapegan_tpu.ops.point_gen_pallas import generate_fused
+
+    gen = SDFGenerator(dtype=jnp.bfloat16)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (3, 1024, 3),
+                             minval=-1, maxval=1)
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, 128))
+    params = gen.init(jax.random.PRNGKey(2), pos, z)["params"]
+    expected = np.asarray(gen.apply({"params": params}, pos, z))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(generate_fused(params, pos, z, tile=512))
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(out, expected, atol=2e-2)
+    # distinct items produce distinct clouds (zz row selection is per-item)
+    assert np.abs(out[0] - out[1]).max() > 1e-3
