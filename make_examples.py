@@ -105,7 +105,10 @@ def bundle_examples(model_dir: str = "models"):
                 if key.startswith("opt_state/") or key == "epoch":
                     continue
                 value = data[key]
-                if value.dtype == np.float32:
+                # fp16 halves the bundle size for the big network weights;
+                # the latent-code table is ~2 KB and feeds latent-space
+                # arithmetic in demos/create_plot, so keep it full precision.
+                if value.dtype == np.float32 and name != "sdf_net_latent_codes":
                     value = value.astype(np.float16)
                 out[key] = value
         dst = os.path.join(EXAMPLES_PATH, f"{name}.npz")

@@ -30,6 +30,17 @@ numbers in BASELINE.md. Usage:
     python run_fixture_corpus.py [workdir] [count=12] [epochs=3] [cpu]
         [ad_epochs=40] [overfit_epochs=150] [recon_max=...] [mmd_max=...]
         [cov_min=...] [overfit_max=...]
+
+Calibrating DEFAULT_GATES (how the shipped thresholds were produced): run
+the pipeline once to populate a workdir, then re-run with larger epoch
+budgets and read the printed quality numbers, e.g.
+
+    python run_fixture_corpus.py /tmp/corpus ad_epochs=160
+    python run_fixture_corpus.py /tmp/corpus ad_epochs=400
+
+(stages 1-3 are idempotent and reuse the prepared data). Set each *_max
+gate ~2x above the best measured value and cov_min ~0.7x below, so the
+gate absorbs run-to-run noise but trips on a broken trainer.
 """
 
 import os

@@ -129,7 +129,15 @@ def save_array(array, name: str, epoch: Optional[int] = None, base: Optional[str
 
 def load_array(name: str, epoch: Optional[int] = None, base: Optional[str] = None) -> np.ndarray:
     path = get_filename(name, epoch, base)
+    from_example = False
     if not os.path.exists(path):
-        path = _example_fallback(name, epoch, base) or path
+        fallback = _example_fallback(name, epoch, base)
+        if fallback is not None:
+            path, from_example = fallback, True
     with np.load(path) as data:
-        return data["array"]
+        array = data["array"]
+    if from_example and array.dtype == np.float16:
+        # Bundled examples may be fp16-compressed; ``load`` casts back to the
+        # template dtype but arrays have no template, so restore fp32 here.
+        array = array.astype(np.float32)
+    return array

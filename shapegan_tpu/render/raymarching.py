@@ -251,7 +251,9 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
     # into ONE array each way — a single gather of [n, 6|7] down and a
     # single scatter of [size, 4] back — instead of per-array transfers
     # (which made each compaction ~240 ms and dominated the whole trace).
-    # status rides the scatter as a bitcast float lane.
+    # status rides the scatter as a float lane (arithmetic cast: 0/1/2 are
+    # exactly representable, and unlike a bitcast they can't be flushed as
+    # denormals by a future XLA canonicalization pass).
     idx = jnp.nonzero(status == _ACTIVE, size=size, fill_value=n)[0]
     payload = [points, directions] if escape is None else \
         [points, directions, escape[:, None]]
@@ -267,12 +269,12 @@ def _trace_staged(kind, params, latent, points, directions, status, budget,
                                     tail_cap, esc_c)
 
     # Fill lanes carry idx == n and are dropped by the scatter.
-    as_f32 = lambda s: jax.lax.bitcast_convert_type(s, jnp.float32)[:, None]
+    as_f32 = lambda s: s.astype(jnp.float32)[:, None]
     dest = jnp.concatenate([points, as_f32(status)], axis=1).at[idx].set(
         jnp.concatenate([pts_c, as_f32(status_c)], axis=1), mode="drop")
     return (
         dest[:, :3],
-        jax.lax.bitcast_convert_type(dest[:, 3], jnp.int32),
+        dest[:, 3].astype(jnp.int32),
     )
 
 

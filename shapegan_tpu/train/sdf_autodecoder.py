@@ -10,10 +10,12 @@ negative SDF counts per epoch, reference :55-69); point→shape mapping is
 save net + latent table every epoch, plus per-epoch snapshots; CSV schema
 ``epoch time loss latent_std``; epoch resume from the CSV line count.
 
-TPU-native: the gather (points/sdf/latent rows), the fused MLP (latent
-projections gathered from a once-per-step projected table — see
-ops/sdf_mlp.apply_indexed), both losses, both Adam updates, and the
-latent-row scatter-add of code gradients are ONE jitted step. Unlike the
+TPU-native: the gather (points/sdf/latent rows), the fused MLP (latent rows
+gathered per point then concatenated into the matmul input — see
+ops/sdf_mlp.apply_indexed; the once-per-step projected-table variant was
+measured at 0.79x and rejected, BASELINE.md), both losses, both Adam
+updates, and the latent-row scatter-add of code gradients are ONE jitted
+step. Unlike the
 reference, every batch has the same static size (the epoch's remainder batch
 is padded with repeated indices instead of being oversized) so one compiled
 program serves the whole run.
@@ -292,9 +294,24 @@ def train(config: Optional[TrainConfig] = None):
 
     if config.resume and checkpoints.exists(NET_NAME, base=config.model_dir):
         params = checkpoints.load(params, NET_NAME, base=config.model_dir)
-        latent_codes = jnp.asarray(
-            checkpoints.load_array(LATENT_CODES_FILENAME, base=config.model_dir)
-        )
+        # The latent table must be gated on ITS OWN existence: if only the
+        # network file survived, load_array would silently fall back to the
+        # bundled example codes with the wrong model_count and JAX's clamped
+        # gathers would corrupt training instead of failing.
+        if not checkpoints.exists(LATENT_CODES_FILENAME, base=config.model_dir):
+            raise FileNotFoundError(
+                f"resume: {checkpoints.get_filename(NET_NAME, base=config.model_dir)} exists "
+                f"but {checkpoints.get_filename(LATENT_CODES_FILENAME, base=config.model_dir)} "
+                "is missing — the checkpoint pair is inconsistent; restore the latent table "
+                "or remove the network file to start fresh"
+            )
+        loaded_codes = checkpoints.load_array(LATENT_CODES_FILENAME, base=config.model_dir)
+        if loaded_codes.shape[0] != model_count:
+            raise ValueError(
+                f"resume: latent table has {loaded_codes.shape[0]} rows but the dataset "
+                f"has {model_count} shapes — checkpoint belongs to a different dataset"
+            )
+        latent_codes = jnp.asarray(loaded_codes)
 
     net_opt_state = net_tx.init(params)
     code_opt_state = code_tx.init(latent_codes)

