@@ -170,10 +170,6 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
         g_opt_state, d_opt_state = restored["g"], restored["d"]
 
     dataset = resolve_point_dataset(config)
-    mesh = get_mesh(batch_size=1)
-    g_params, d_params, g_opt_state, d_opt_state = jax.device_put(
-        (g_params, d_params, g_opt_state, d_opt_state), replicated(mesh)
-    )
     d_step, g_step = make_steps(generator, discriminator, g_tx, d_tx)
 
     logger = CSVLogger(f"{config.plot_dir}/point_gan_ref_training.csv", resume=config.resume)
@@ -187,20 +183,27 @@ def train(config: Optional[TrainConfig] = None, curriculum=None):
     epoch_index = 0
 
     curriculum = curriculum or CURRICULUM
-    with mesh:
-        for num_points, batch_size, stage_epochs in curriculum:
-            if config.epochs:
-                stage_epochs = min(stage_epochs, config.epochs)
-            dataset.num_points = num_points
-            loader = BatchLoader(
-                dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed
+    for num_points, batch_size, stage_epochs in curriculum:
+        if config.epochs:
+            stage_epochs = min(stage_epochs, config.epochs)
+        dataset.num_points = num_points
+        loader = BatchLoader(
+            dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed
+        )
+        if len(loader) == 0:
+            print(
+                f"skipping curriculum stage ({num_points} pts, batch {batch_size}): "
+                f"dataset has only {len(dataset)} shapes"
             )
-            if len(loader) == 0:
-                print(
-                    f"skipping curriculum stage ({num_points} pts, batch {batch_size}): "
-                    f"dataset has only {len(dataset)} shapes"
-                )
-                continue
+            continue
+        # Per-stage data mesh sized to the stage batch (16/8), exactly as in
+        # train/point_gan.py — params are replicated so the transition is a
+        # device_put, and each stage recompiles anyway (static shapes).
+        mesh = get_mesh(batch_size=batch_size)
+        g_params, d_params, g_opt_state, d_opt_state = jax.device_put(
+            (g_params, d_params, g_opt_state, d_opt_state), replicated(mesh)
+        )
+        with mesh:
             for epoch in range(1, stage_epochs + 1):
                 epoch_index += 1
                 if epoch_index <= completed_epochs:
