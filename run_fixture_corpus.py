@@ -203,6 +203,23 @@ def run(workdir, count=12, epochs=3, uniform_count=16384, cloud_count=50000,
     failures = evaluate_gates(quality, thresholds, verbose=True)
     if quality["empty_meshes"]:
         print(f"note: {quality['empty_meshes']} latent codes decoded to empty meshes")
+
+    # Machine-readable GATE record beside the perf BENCH record (same scheme
+    # as run_gan_gate.py), so quality regressions are round-recordable.
+    import json
+
+    record = {
+        "gate": "autodecoder",
+        "quality": quality,
+        "thresholds": thresholds,
+        "config": {"count": count, "epochs": epochs,
+                   "ad_epochs": ad_epochs, "overfit_epochs": overfit_epochs},
+        "pass": not failures,
+        "failures": failures,
+    }
+    with open(os.path.join(workdir, "gate_autodecoder.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    print("GATE " + json.dumps(record))
     if failures:
         raise SystemExit(f"QUALITY GATE FAILED: {', '.join(failures)}")
     print("quality gate: PASS")
