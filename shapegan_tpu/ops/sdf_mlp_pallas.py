@@ -709,6 +709,354 @@ def _trainable_bwd(tile, residuals, g):
 apply_grid_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
+# ======================================================================
+# Activation-stash custom-VJP variant: the forward writes selected trunk
+# activations to HBM; the backward reads them instead of recomputing.
+# ======================================================================
+#
+# The recompute backward above runs at ~98% of its in-kernel-recompute
+# roofline (BASELINE.md), so the only remaining lever at the 16x64^3
+# flagship workload is algorithmic: trade recompute matmuls for HBM
+# traffic by stashing trunk activations during the forward
+# (BASELINE.md round-1 analysis). h1 = relu(pp1 + zz1) costs no matmul
+# to rebuild (its inputs are already kernel operands), so the default
+# stash set is the alternating {h3, h5, h7}: each stashed layer kills
+# exactly one recompute matmul, halving the recompute (6 -> 3 matmuls)
+# for 3 x B*P*256 bf16 of HBM (6.4 GB at the flagship) written once in
+# the forward and read once in the backward — ~8 ms of DMA each way at
+# the v5e's ~800 GB/s, overlappable with the surrounding MXU work.
+
+
+def _trunk_stacks(params, cd):
+    """The (w_stack, b_stack, w8row) kernel operands shared by every grid
+    kernel launch (same layout as apply_grid_fused / _trainable_bwd)."""
+    breadth = params["w2"].shape[0]
+    w_stack = jnp.stack(
+        [params[k].astype(cd) for k in ("w2", "w3", "w4", "w5h", "w6", "w7")]
+    )
+    b_stack = jnp.stack(
+        [params["b2"], params["b3"], params["b4"], params["b6"], params["b7"],
+         jnp.zeros_like(params["b2"]),
+         jnp.full((breadth,), params["b8"][0], dtype=params["b2"].dtype),
+         jnp.zeros_like(params["b2"])]
+    ).astype(cd)
+    b_stack = b_stack[jnp.array(BIAS_STACK_ORDER)]
+    w8row = params["w8"].astype(cd).T  # [1, breadth]
+    return w_stack, b_stack, w8row
+
+
+def _stash_fwd_kernel(stash_js, pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref,
+                      b_ref, w8row_ref, out_ref, *stash_refs):
+    """Batch-stacked forward (see _kernel) that additionally writes the
+    h-chain positions named by ``stash_js`` (0-indexed into h1..h7) to
+    HBM blocks for the stash backward."""
+    f32 = jnp.float32
+    batch = zz1_ref.shape[0]
+    tile = pp1_ref.shape[0]
+    breadth = pp1_ref.shape[1]
+
+    def maybe_stash(j, x):
+        if j in stash_js:
+            stash_refs[stash_js.index(j)][:, :, :] = x.reshape(
+                batch, tile, breadth)
+
+    pp1 = pp1_ref[:, :]
+    pp5 = pp5_ref[:, :]
+    zz1 = zz1_ref[:, :]
+    zz5 = zz5_ref[:, :]
+    x = jax.nn.relu(pp1[None, :, :] + zz1[:, None, :]).reshape(batch * tile, breadth)
+    maybe_stash(0, x)
+    for layer in range(3):  # w2, w3, w4 -> h2..h4
+        x = jax.nn.relu(
+            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
+            + b_ref[layer][None, :]
+        )
+        maybe_stash(layer + 1, x)
+    x = jax.nn.relu(
+        jnp.dot(x, w_ref[3], preferred_element_type=f32)
+        .astype(x.dtype)
+        .reshape(batch, tile, breadth)
+        + pp5[None, :, :]
+        + zz5[:, None, :]
+    ).reshape(batch * tile, breadth)
+    maybe_stash(4, x)
+    for layer in (4, 5):  # w6, w7 -> h6, h7
+        x = jax.nn.relu(
+            jnp.dot(x, w_ref[layer], preferred_element_type=f32).astype(x.dtype)
+            + b_ref[layer][None, :]
+        )
+        maybe_stash(layer + 1, x)
+    w8row = w8row_ref[0, :].astype(f32)
+    head = jnp.sum(x.astype(f32) * w8row[None, :], axis=1)
+    b8 = b_ref[6, :].astype(f32)[0]
+    out_ref[:, :] = jnp.tanh(head + b8).reshape(batch, tile).astype(out_ref.dtype)
+
+
+def _stash_bwd_kernel(stash_js, pp1_ref, pp5_ref, zz1_ref, zz5_ref, w_ref,
+                      b_ref, w8row_ref, g_ref, *rest):
+    """Backward program for one point tile using stashed activations.
+
+    Identical sweep to _bwd_kernel; the per-shape h-chain is assembled
+    from the stashed HBM blocks, with only the non-stashed layers
+    recomputed (ascending, so each recompute's predecessor is in hand).
+    Stashed values are the forward's own bf16 activations, so the relu
+    masks and dw operands match the forward bit-for-bit (the recompute
+    kernel's differ by one bf16 rounding in the bias add)."""
+    stash_refs = rest[: len(stash_js)]
+    (dpp1_ref, dpp5_ref, dzz1_ref, dzz5_ref, dw_ref, db_ref, dw8_ref,
+     db8_ref) = rest[len(stash_js):]
+    f32 = jnp.float32
+    batch = zz1_ref.shape[0]
+    tile = pp1_ref.shape[0]
+    breadth = pp1_ref.shape[1]
+    cd = pp1_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dzz1_ref[:, :] = jnp.zeros_like(dzz1_ref)
+        dzz5_ref[:, :] = jnp.zeros_like(dzz5_ref)
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+        dw8_ref[:, :] = jnp.zeros_like(dw8_ref)
+        db8_ref[:, :] = jnp.zeros_like(db8_ref)
+
+    dpp1_acc = jnp.zeros((tile, breadth), f32)
+    dpp5_acc = jnp.zeros((tile, breadth), f32)
+    dw_acc = [jnp.zeros((breadth, breadth), f32) for _ in range(6)]
+    db_acc = [jnp.zeros((breadth,), f32) for _ in range(8)]
+    db8_acc = jnp.float32(0.0)
+    dw8_acc = jnp.zeros((breadth,), f32)
+    dzz1_rows = []
+    dzz5_rows = []
+    w8row = w8row_ref[0, :].astype(f32)  # [256]
+    b8 = b_ref[6, :].astype(f32)[0]
+
+    contract_t = (((0,), (0,)), ((), ()))      # [T, a] x [T, b] -> [a, b]
+    contract_last = (((1,), (1,)), ((), ()))   # [T, a] x [b, a] -> [T, b]
+
+    for b in range(batch):
+        # ---- assemble the h-chain: stashed reads + ascending recompute
+        x1 = pp1_ref[:, :].astype(f32) + zz1_ref[b, :][None, :].astype(f32)
+        h = [jax.nn.relu(x1).astype(cd)]  # h[0] = h1, matmul-free
+        for j in range(1, 7):
+            if j in stash_js:
+                h.append(stash_refs[stash_js.index(j)][b, :, :])
+            elif j == 4:  # skip layer w5h
+                x5 = (jnp.dot(h[3], w_ref[3], preferred_element_type=f32)
+                      + pp5_ref[:, :].astype(f32)
+                      + zz5_ref[b, :][None, :].astype(f32))
+                h.append(jax.nn.relu(x5).astype(cd))
+            else:
+                acc = (jnp.dot(h[-1], w_ref[j - 1], preferred_element_type=f32)
+                       + b_ref[j - 1][None, :].astype(f32))
+                h.append(jax.nn.relu(acc).astype(cd))
+        head = jnp.sum(h[-1].astype(f32) * w8row[None, :], axis=1)  # [T]
+        out_col = jnp.tanh(head + b8)[:, None]  # [T, 1]
+
+        # ---- backward sweep (identical to _bwd_kernel)
+        gz_col = g_ref[b, :].astype(f32)[:, None] * (1.0 - out_col * out_col)
+        dw8_acc = dw8_acc + jnp.sum(h[6].astype(f32) * gz_col, axis=0)
+        db8_acc = db8_acc + jnp.sum(gz_col)
+        dh = gz_col * w8row[None, :]  # [T, 256] = dh7
+
+        for layer, h_prev, h_cur, db_row in ((5, h[5], h[6], 5), (4, h[4], h[5], 4)):
+            dz = (dh * (h_cur.astype(f32) > 0)).astype(cd)
+            dw_acc[layer] = dw_acc[layer] + jax.lax.dot_general(
+                h_prev, dz, contract_t, preferred_element_type=f32)
+            db_acc[db_row] = db_acc[db_row] + jnp.sum(dz.astype(f32), axis=0)
+            dh = jax.lax.dot_general(dz, w_ref[layer], contract_last,
+                                     preferred_element_type=f32)
+
+        dz5 = (dh * (h[4].astype(f32) > 0)).astype(cd)
+        dw_acc[3] = dw_acc[3] + jax.lax.dot_general(h[3], dz5, contract_t,
+                                                    preferred_element_type=f32)
+        dpp5_acc = dpp5_acc + dz5.astype(f32)
+        dzz5_rows.append(jnp.sum(dz5.astype(f32), axis=0))
+        dh = jax.lax.dot_general(dz5, w_ref[3], contract_last,
+                                 preferred_element_type=f32)
+
+        for layer, h_prev, h_cur, db_row in (
+            (2, h[2], h[3], 2), (1, h[1], h[2], 1), (0, h[0], h[1], 0)
+        ):
+            dz = (dh * (h_cur.astype(f32) > 0)).astype(cd)
+            dw_acc[layer] = dw_acc[layer] + jax.lax.dot_general(
+                h_prev, dz, contract_t, preferred_element_type=f32)
+            db_acc[db_row] = db_acc[db_row] + jnp.sum(dz.astype(f32), axis=0)
+            dh = jax.lax.dot_general(dz, w_ref[layer], contract_last,
+                                     preferred_element_type=f32)
+
+        dx1 = dh * (h[0].astype(f32) > 0)
+        dpp1_acc = dpp1_acc + dx1
+        dzz1_rows.append(jnp.sum(dx1, axis=0))
+
+    dpp1_ref[:, :] = dpp1_acc
+    dpp5_ref[:, :] = dpp5_acc
+    dzz1_ref[:, :] += jnp.stack(dzz1_rows)
+    dzz5_ref[:, :] += jnp.stack(dzz5_rows)
+    dw_ref[:, :, :] += jnp.stack(dw_acc)
+    db_ref[:, :] += jnp.stack(db_acc)
+    dw8_ref[:, :] += jnp.broadcast_to(dw8_acc[:, None], dw8_ref.shape)
+    db8_ref[:, :] += jnp.full(db8_ref.shape, db8_acc, f32)
+
+
+def _stash_fwd_call(params, grid_points, latents, tile, stash):
+    """Forward launch returning (out [B, P] f32, stashed bf16 activations)."""
+    cd = jnp.bfloat16
+    p = grid_points.shape[0]
+    b = latents.shape[0]
+    breadth = params["w2"].shape[0]
+    pad = (-p) % tile
+    pts = jnp.pad(grid_points, ((0, pad), (0, 0))).astype(cd)
+    p_padded = p + pad
+
+    pp1, pp5, zz1, zz5 = _projections(params, pts, latents, cd)
+    w_stack, b_stack, w8row = _trunk_stacks(params, cd)
+
+    grid = (p_padded // tile,)
+    stash_spec = pl.BlockSpec((b, tile, breadth), lambda j: (0, j, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_stash_fwd_kernel, tuple(stash)),
+        out_shape=(jax.ShapeDtypeStruct((b, p_padded), jnp.float32),)
+        + tuple(jax.ShapeDtypeStruct((b, p_padded, breadth), cd) for _ in stash),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ) + tuple(stash_spec for _ in stash),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_padded * 6 * breadth * breadth,
+            bytes_accessed=(2 * p_padded * breadth * 2 + b * p_padded * 4
+                            + len(stash) * b * p_padded * breadth * 2),
+            transcendentals=b * p_padded,
+        ),
+    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8row)
+    out = outs[0]
+    return out[:, :p], tuple(outs[1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def apply_grid_trainable_stash(params, grid_points, latents,
+                               tile: int = DEFAULT_TILE, stash=(2, 4, 6)):
+    """Differentiable fused grid evaluation with an activation-stash
+    backward: the forward writes the h-chain positions in ``stash``
+    (0-indexed into h1..h7; default h3/h5/h7) to HBM, and the backward
+    reads them instead of recomputing — 3 fewer recompute matmuls per
+    layer set at 2.15 GB of bf16 HBM per stashed layer (flagship shape).
+    Semantics match apply_grid_trainable."""
+    return apply_grid_fused(params, grid_points, latents, tile=tile)
+
+
+def _stash_trainable_fwd(params, grid_points, latents, tile, stash):
+    out, stashed = _stash_fwd_call(params, grid_points, latents, tile, stash)
+    return out, (params, grid_points, latents, stashed)
+
+
+def _stash_trainable_bwd(tile, stash, residuals, g):
+    params, grid_points, latents, stashed = residuals
+    cd = jnp.bfloat16
+    p = grid_points.shape[0]
+    b = latents.shape[0]
+    breadth = params["w2"].shape[0]
+    pad = (-p) % tile
+    pts = jnp.pad(grid_points, ((0, pad), (0, 0))).astype(cd)
+    p_padded = p + pad
+
+    pp1, pp5, zz1, zz5 = _projections(params, pts, latents, cd)
+    w_stack, b_stack, w8row = _trunk_stacks(params, cd)
+    g_padded = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad)))
+
+    grid = (p_padded // tile,)
+    stash_spec = pl.BlockSpec((b, tile, breadth), lambda j: (0, j, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_stash_bwd_kernel, tuple(stash)),
+        out_shape=(
+            jax.ShapeDtypeStruct((p_padded, breadth), jnp.float32),   # d_pp1
+            jax.ShapeDtypeStruct((p_padded, breadth), jnp.float32),   # d_pp5
+            jax.ShapeDtypeStruct((b, breadth), jnp.float32),          # d_zz1
+            jax.ShapeDtypeStruct((b, breadth), jnp.float32),          # d_zz5
+            jax.ShapeDtypeStruct((6, breadth, breadth), jnp.float32),
+            jax.ShapeDtypeStruct((8, breadth), jnp.float32),
+            jax.ShapeDtypeStruct((breadth, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),  # db8 (lane 0 real)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ] + [stash_spec for _ in stash],
+        out_specs=(
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, breadth), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, breadth, breadth), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, breadth), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((breadth, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_padded * (17 - len(stash)) * breadth * breadth,
+            bytes_accessed=(4 * p_padded * breadth * 4 + b * p_padded * 4
+                            + len(stash) * b * p_padded * breadth * 2),
+            transcendentals=b * p_padded,
+        ),
+    )(pp1, pp5, zz1, zz5, w_stack, b_stack, w8row, g_padded, *stashed)
+
+    d_pp1, d_pp5, d_zz1, d_zz5, d_w, d_b, d_w8, d_b8 = outs
+    d_pp1 = d_pp1[:p]
+    d_pp5 = d_pp5[:p]
+
+    f32 = jnp.float32
+    pts32 = grid_points.astype(f32)
+    lat32 = latents.astype(f32)
+    d_params = {
+        "w1p": pts32.T @ d_pp1,
+        "w1z": lat32.T @ d_zz1,
+        "b1": jnp.sum(d_zz1, axis=0),
+        "w5p": pts32.T @ d_pp5,
+        "w5z": lat32.T @ d_zz5,
+        "b5": jnp.sum(d_zz5, axis=0),
+        "w2": d_w[0], "b2": d_b[0],
+        "w3": d_w[1], "b3": d_b[1],
+        "w4": d_w[2], "b4": d_b[2],
+        "w5h": d_w[3],
+        "w6": d_w[4], "b6": d_b[4],
+        "w7": d_w[5], "b7": d_b[5],
+        "w8": d_w8[:, :1],
+        "b8": d_b8[0, :1],
+    }
+    d_params = {k: v.astype(params[k].dtype) for k, v in d_params.items()}
+    d_grid = d_pp1 @ params["w1p"].astype(f32).T + d_pp5 @ params["w5p"].astype(f32).T
+    d_latents = d_zz1 @ params["w1z"].astype(f32).T + d_zz5 @ params["w5z"].astype(f32).T
+    return d_params, d_grid.astype(grid_points.dtype), d_latents.astype(latents.dtype)
+
+
+apply_grid_trainable_stash.defvjp(_stash_trainable_fwd, _stash_trainable_bwd)
+
+
 # Trace-time counter: lets tests and the driver dryrun assert that the
 # shard_map path (not a replicated fallback) was actually taken.
 sharded_call_count = 0

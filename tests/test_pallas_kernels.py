@@ -60,7 +60,25 @@ def test_points_kernel_matches_xla_interpreted():
     np.testing.assert_allclose(out_folded, expected, atol=2e-2)
 
 
-def _vjp_check(res, batch):
+def test_stash_forward_matches_fused_interpreted():
+    """The stash forward must produce the same outputs as the plain fused
+    forward (same batch-stacked math; the stash writes are side outputs)."""
+    from shapegan_tpu.ops.sdf_mlp_pallas import _stash_fwd_call
+
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    grid = jnp.asarray(voxel_coordinates(16))  # multi-tile + padded tail path
+    lats = jax.random.normal(jax.random.PRNGKey(1), (3, 128))
+    with pltpu.force_tpu_interpret_mode():
+        expected = np.asarray(apply_grid_fused(params, grid, lats))
+        out, stashed = _stash_fwd_call(params, grid, lats, 512, (2, 4, 6))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+    assert len(stashed) == 3
+    for s in stashed:
+        assert s.shape == (3, 4096, 256) and s.dtype == jnp.bfloat16
+        assert np.asarray(s, np.float32).max() > 0  # relu outputs, non-degenerate
+
+
+def _vjp_check(res, batch, fused_fn=None):
     """Compare fused-kernel grads against XLA under the right metric.
 
     Round-2 postmortem: comparing the fused bf16 grads directly against the
@@ -87,7 +105,8 @@ def _vjp_check(res, batch):
         argnums=(0, 1, 2),
     )(params, grid, lats)
     with pltpu.force_tpu_interpret_mode():
-        fused = jax.grad(loss(apply_grid_trainable), argnums=(0, 1, 2))(params, grid, lats)
+        fused = jax.grad(loss(fused_fn or apply_grid_trainable),
+                         argnums=(0, 1, 2))(params, grid, lats)
 
     for t, b, f in zip(jax.tree.leaves(truth), jax.tree.leaves(bf16), jax.tree.leaves(fused)):
         t, b, f = np.asarray(t), np.asarray(b), np.asarray(f)
@@ -107,6 +126,15 @@ def test_fused_vjp_multitile_interpreted():
     # Multi-tile + odd batch: exercises cross-grid-step accumulator flushes
     # (dw/db/dzz blocks with constant index maps + pl.when init).
     _vjp_check(16, 3)
+
+
+@pytest.mark.slow
+def test_stash_vjp_multitile_interpreted():
+    # The activation-stash backward under the same error metric, multi-tile
+    # so the stashed-block index maps cross grid steps.
+    from shapegan_tpu.ops.sdf_mlp_pallas import apply_grid_trainable_stash
+
+    _vjp_check(16, 3, fused_fn=apply_grid_trainable_stash)
 
 
 def _reference_trace(params, lat, pts, dirs, status, k, *, shadow, threshold,
