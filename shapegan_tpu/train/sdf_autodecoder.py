@@ -289,8 +289,21 @@ def train(config: Optional[TrainConfig] = None):
         * 1e-4
     )
 
-    net_tx = optax.adam(LEARNING_RATE)
-    code_tx = optax.adam(LEARNING_RATE)
+    # Opt-in big-batch mode (a documented DEVIATION from reference
+    # semantics): the 20k-point reference step is HBM-latency-bound, not
+    # compute-bound (BASELINE.md's rowwise-kernel rejection decomposition) —
+    # larger batches amortize that floor. ``batch_size=65536 scale_lr``
+    # scales both Adams' lr linearly with batch size (Goyal et al.'s linear
+    # scaling rule) so per-epoch optimization progress tracks the reference
+    # schedule; without ``scale_lr`` a non-default batch trains at the
+    # reference lr unchanged.
+    lr = LEARNING_RATE
+    if config.extras.get("scale_lr") and batch_size != BATCH_SIZE:
+        lr = LEARNING_RATE * (batch_size / BATCH_SIZE)
+        print(f"scale_lr: batch {batch_size} -> lr {lr:.3e} "
+              f"(linear scaling vs reference batch {BATCH_SIZE})")
+    net_tx = optax.adam(lr)
+    code_tx = optax.adam(lr)
 
     if config.resume and checkpoints.exists(NET_NAME, base=config.model_dir):
         params = checkpoints.load(params, NET_NAME, base=config.model_dir)

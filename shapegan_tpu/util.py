@@ -29,9 +29,17 @@ def probe_jax_backend(timeout_s: float = 120.0):
     import subprocess
     import sys
 
+    # The probe must EXECUTE a computation and pull its value, not just
+    # enumerate devices: an observed tunnel failure mode (round 5) answers
+    # jax.devices() fine while every compile/execute RPC hangs forever.
+    probe_src = (
+        "import jax, jax.numpy as jnp; "
+        "assert float(jnp.ones((8, 8)).sum()) == 64.0; "
+        "print(len(jax.devices()))"
+    )
     try:
         result = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            [sys.executable, "-c", probe_src],
             capture_output=True, text=True, timeout=timeout_s,
         )
         if result.returncode == 0:
