@@ -43,7 +43,7 @@ from shapegan_tpu.train.hybrid_gan import generate_volumes, generate_volumes_inf
 
 def parse_args(argv):
     opts = {"iteration": 2, "batch": 16, "reps": 20, "raymarch": 0, "resolution": 400,
-            "stages": 0, "autodecoder": 0, "point_gan": 0, "coherence": 0}
+            "stages": 0, "autodecoder": 0, "point_gan": 0, "coherence": 0, "stash": 0}
     for arg in argv:
         if "=" in arg:
             k, v = arg.split("=", 1)
@@ -240,6 +240,8 @@ def _dispatch():
         raymarch_block_coherence()
     elif opts["autodecoder"]:
         autodecoder_breakdown(reps=opts["reps"])
+    elif opts["stash"]:
+        stash_breakdown(batch=opts["batch"], reps=opts["reps"])
     elif opts["point_gan"]:
         point_gan_breakdown(reps=opts["reps"])
     else:
@@ -355,6 +357,75 @@ def point_gan_breakdown(n_points=4096, batch=32, reps=20):
     per_batch = t_full + t_g / 5.0
     print(f"{'amortized per-batch (D + G/5)':<34s} {per_batch * 1e3:8.2f} ms "
           f"-> {1.0 / per_batch:.1f} steps/s")
+
+
+def stash_breakdown(res=64, batch=16, reps=10):
+    """Activation-stash backward vs in-kernel recompute at the flagship
+    16x64^3 fused-grid workload (BASELINE.md names the HBM activation stash
+    as the only remaining algorithmic lever — the recompute backward runs at
+    ~98% of its in-kernel-recompute roofline).
+
+    Stash sets are 0-indexed h-chain positions (ops/sdf_mlp_pallas.py):
+    (2,4,6) = h3/h5/h7 kills 3 of the 6 recompute matmuls for 3x2.15 GB of
+    bf16 HBM at this workload; (1,2,4,6) kills 4 for 8.6 GB; (1..6) kills
+    all 6 for 12.9 GB (too large to coexist with the critic in the real
+    step — measured here to bound the ceiling). SGD-eps chains keep the
+    scan serial so nothing hoists."""
+    from bench import _timed_state_scan
+    from shapegan_tpu.ops import sdf_mlp
+    from shapegan_tpu.ops.coords import voxel_coordinates
+    from shapegan_tpu.ops.sdf_mlp_pallas import (
+        _stash_fwd_call,
+        apply_grid_fused,
+        apply_grid_trainable,
+        apply_grid_trainable_stash,
+    )
+
+    print(f"# activation-stash backward @ {batch}x{res}^3 "
+          f"({batch * res**3 / 1e6:.2f}M points), {reps} reps, "
+          f"backend={jax.default_backend()}")
+    grid = jnp.asarray(voxel_coordinates(res))
+    params = sdf_mlp.init(jax.random.PRNGKey(0))
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 128))
+
+    def row(name, t):
+        print(f"{name:<44s} {t * 1e3:8.2f} ms")
+        return t
+
+    # --- forward only: what do the stash writes cost? ---------------------
+    def fwd_chain(fn):
+        def step(carry, i):
+            p, z = carry
+            out = fn(p, grid, z)
+            return p, z + jnp.sum(out) * 1e-12  # consume -> serial chain
+        return step
+
+    t_fwd = row("fwd (plain fused kernel)",
+                _timed_state_scan(fwd_chain(apply_grid_fused), (params, z0), reps))
+    for stash in ((2, 4, 6), (1, 2, 3, 4, 5, 6)):
+        t = row(f"fwd + stash writes {stash}",
+                _timed_state_scan(
+                    fwd_chain(lambda p, g, z, s=stash: _stash_fwd_call(p, g, z, 512, s)[0]),
+                    (params, z0), reps))
+        row(f"  stash-write delta {stash}", t - t_fwd)
+
+    # --- fwd+bwd: recompute kernel vs stash variants -----------------------
+    def grad_chain(fn):
+        def step(carry, i):
+            p, z = carry
+            gp, gz = jax.grad(lambda p, z: jnp.sum(fn(p, grid, z)),
+                              argnums=(0, 1))(p, z)
+            p = jax.tree.map(lambda a, g: a - 1e-9 * g, p, gp)
+            return p, z - 1e-9 * gz
+        return step
+
+    t_rec = row("fwd+bwd (in-kernel recompute, production)",
+                _timed_state_scan(grad_chain(apply_grid_trainable), (params, z0), reps))
+    for stash in ((2, 4, 6), (1, 2, 4, 6), (1, 2, 3, 4, 5, 6)):
+        fn = lambda p, g, z, s=stash: apply_grid_trainable_stash(p, g, z, 512, s)
+        t = row(f"fwd+bwd stash {stash}",
+                _timed_state_scan(grad_chain(fn), (params, z0), reps))
+        row(f"  vs recompute {stash}", t - t_rec)
 
 
 def autodecoder_breakdown(model_count=8, pc_size=25000, batch=20000, reps=25):
