@@ -69,6 +69,19 @@ def main():
 
         _force_cpu_backend()
         argv.remove("cpu")
+    else:
+        # Same fail-fast guard as bench.py: a dead remote-TPU tunnel hangs
+        # the first compile/execute RPC forever; probe with a real
+        # computation and refuse to start instead of hanging the run.
+        from shapegan_tpu.util import probe_jax_backend
+
+        count, detail = probe_jax_backend(180.0)
+        if count < 0:
+            raise SystemExit(
+                f"run_gan_gate: JAX backend unreachable ({detail}); "
+                "refusing to hang — is the TPU tunnel up? (pass 'cpu' to "
+                "run on the host instead)"
+            )
     sheet = True
     if "nosheet" in argv:
         sheet = False
