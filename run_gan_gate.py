@@ -34,7 +34,7 @@ training still produce shapes of the right family" check, not a SOTA bar.
 
 Usage:
     python run_gan_gate.py [workdir] [cpu] [shapes=64] [samples=16]
-        [gan_epochs=500] [prog_epochs=60] [point_count=2048] [gt_count=24]
+        [gan_epochs=1000] [prog_epochs=250] [point_count=2048] [gt_count=24]
         [nosheet] [voxel_mmd_max=..] [voxel_cov_min=..]
         [prog_mmd_max=..] [prog_cov_min=..]
 """
@@ -47,7 +47,7 @@ import time
 import numpy as np
 
 # Calibration procedure: run this script at the default budgets (shapes=64,
-# samples=16, gan_epochs=500, prog_epochs=60) on one v5e chip, record the
+# samples=16, gan_epochs=1000, prog_epochs=250) on one v5e chip, record the
 # measured MMD/COV in BASELINE.md, and set bounds with ~2x headroom on MMD
 # and one coarse COV grid step (1/samples) of slack on COV — loose enough
 # for run-to-run GAN noise, tight enough that a collapsed or untrained
@@ -91,8 +91,8 @@ def main():
         workdir,
         shapes=int(opts.get("shapes", 64)),
         samples=int(opts.get("samples", 16)),
-        gan_epochs=int(opts.get("gan_epochs", 500)),
-        prog_epochs=int(opts.get("prog_epochs", 60)),
+        gan_epochs=int(opts.get("gan_epochs", 1000)),
+        prog_epochs=int(opts.get("prog_epochs", 250)),
         point_count=int(opts.get("point_count", 2048)),
         gt_count=int(opts.get("gt_count", 24)),
         sheet=sheet,
@@ -100,7 +100,7 @@ def main():
     )
 
 
-def run(workdir, shapes=64, samples=16, gan_epochs=500, prog_epochs=60,
+def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
         point_count=2048, gt_count=24, mesh_resolution=64, sheet=True,
         gates=None, seed=0):
     from shapegan_tpu.core.config import TrainConfig
@@ -285,6 +285,13 @@ def render_sample_sheet(data_voxels, gan_voxels, net, g_params, codes,
     from shapegan_tpu.render.viewer import MeshRenderer
 
     viewer = MeshRenderer(size=2 * tile, start_thread=False)
+    try:
+        # Real GL pipeline without a display (surfaceless EGL); get_image
+        # falls back to the identical-output software rasterizer when no
+        # EGL/Mesa stack exists.
+        viewer.use_headless_gl()
+    except Exception as e:
+        print(f"sample sheet: headless GL unavailable ({e}); software twin")
     rows = []
 
     def tile_image():
