@@ -86,6 +86,9 @@ def main():
     if "nosheet" in argv:
         sheet = False
         argv.remove("nosheet")
+    resume = "continue" in argv
+    if resume:
+        argv.remove("continue")
     workdir = argv[0] if argv else "gan_gate_run"
     run(
         workdir,
@@ -97,18 +100,35 @@ def main():
         gt_count=int(opts.get("gt_count", 24)),
         sheet=sheet,
         gates={k: float(opts[k]) for k in DEFAULT_GATES if k in opts},
+        resume=resume,
+        save_every=int(opts.get("save_every", 25)),
     )
 
 
 def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
         point_count=2048, gt_count=24, mesh_resolution=64, sheet=True,
-        gates=None, seed=0):
+        gates=None, seed=0, resume=False, save_every=25):
+    """``resume=True`` ('continue' on the CLI) makes the run retryable: each
+    training stage resumes from its own CSV/checkpoints if it has started
+    (fresh warm-start semantics otherwise), so an interrupted run — e.g. a
+    dropped remote-TPU link — picks up where it stopped instead of
+    retraining. ``save_every`` thins the latest-slot checkpoint cadence (25
+    here vs the trainers' reference-parity every-epoch default) because each
+    save pulls params off-device; a retry may therefore lose up to
+    save_every-1 epochs per interruption — immaterial against the budgets'
+    and thresholds' headroom."""
     from shapegan_tpu.core.config import TrainConfig
 
     os.makedirs(os.path.join(workdir, "plots"), exist_ok=True)
     model_dir = os.path.join(workdir, "models")
     plot_dir = os.path.join(workdir, "plots")
     timings = {}
+
+    def stage_resume(csv_name):
+        # Resume a stage only if it actually started: a never-started
+        # progressive iteration must take the warm-start branch
+        # (resume=True would skip loading the previous iteration).
+        return resume and os.path.exists(os.path.join(plot_dir, csv_name))
 
     # Ground truth: surface clouds of the first gt_count training shapes,
     # extracted at 64^3 (finer than the 32^3 training grids; the half-unit
@@ -129,6 +149,8 @@ def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
     gan_cfg = TrainConfig(
         nogui=True, synthetic=shapes, epochs=gan_epochs, seed=seed,
         batch_size=32, model_dir=model_dir, plot_dir=plot_dir,
+        resume=stage_resume("gan_training.csv"),
+        extras={"save_every": save_every},
     )
     g_state, _ = gan.train(gan_cfg)
     timings["train_voxel_gan"] = time.time() - t0
@@ -173,6 +195,8 @@ def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
         prog_cfg = TrainConfig(
             nogui=True, synthetic=shapes, epochs=prog_epochs, iteration=iteration,
             seed=seed, batch_size=16, model_dir=model_dir, plot_dir=plot_dir,
+            resume=stage_resume(f"hybrid_gan_training_{iteration}.csv"),
+            extras={"save_every": save_every},
         )
         g_params, d_params = prog.train(prog_cfg)
         _assert_finite_csv(

@@ -189,7 +189,15 @@ def train(config: Optional[TrainConfig] = None):
                             f"prediction on valid samples: {history_real.mean:.4f}"
                         )
 
-            save(config, g_state, d_state, g_name, d_name, epoch, epoch % SNAPSHOT_EVERY == 0)
+            # save_every=N (extras) thins the per-epoch latest-slot saves —
+            # each save pulls params+optimizer state off the device, which a
+            # flaky remote-TPU link turns into the run's dominant risk. The
+            # default (1) is the reference's save-every-epoch semantics.
+            save_every = int(config.extras.get("save_every", 1))
+            if ((epoch + 1) % save_every == 0 or epoch % SNAPSHOT_EVERY == 0
+                    or (config.epochs and epoch == config.epochs - 1)):
+                save(config, g_state, d_state, g_name, d_name, epoch,
+                     epoch % SNAPSHOT_EVERY == 0)
             if config.show_slice:
                 rng, slice_rng = jax.random.split(rng)
                 voxels, _ = generate(generator, g_state, slice_rng, 1, train=False)

@@ -237,12 +237,19 @@ def train(config: Optional[TrainConfig] = None):
                     f"gradient penalty: {history_gp.mean:.4f}"
                 )
 
-                checkpoints.save(g_params, G_NAME.format(iteration), base=config.model_dir)
-                checkpoints.save(d_params, D_NAME.format(iteration), base=config.model_dir)
-                checkpoints.save(
-                    {"g": g_opt_state, "d": d_opt_state}, OPT_NAME.format(iteration),
-                    base=config.model_dir,
-                )
+                # save_every=N (extras) thins the per-epoch latest-slot
+                # saves (each pulls G+D+optimizer off-device — the dominant
+                # risk over a flaky remote link); default 1 = reference's
+                # save-every-epoch semantics. The final epoch always saves
+                # (the next iteration's warm start reads the latest slot).
+                save_every = int(config.extras.get("save_every", 1))
+                if (epoch + 1) % save_every == 0 or epoch == epochs_total - 1:
+                    checkpoints.save(g_params, G_NAME.format(iteration), base=config.model_dir)
+                    checkpoints.save(d_params, D_NAME.format(iteration), base=config.model_dir)
+                    checkpoints.save(
+                        {"g": g_opt_state, "d": d_opt_state}, OPT_NAME.format(iteration),
+                        base=config.model_dir,
+                    )
                 if epoch % SNAPSHOT_EVERY == 0:
                     checkpoints.save(
                         g_params, G_NAME.format(iteration), epoch=epoch, base=config.model_dir
