@@ -96,3 +96,34 @@ def test_progressive_full_loop_and_warm_start(tmp_path, monkeypatch):
     assert checkpoints.exists("hybrid_progressive_gan_discriminator_1", base=base["model_dir"])
     log = (tmp_path / "plots" / "hybrid_gan_training_1.csv").read_text().strip().splitlines()
     assert len(log) == 1
+
+
+@pytest.mark.slow
+def test_gan_save_every_thins_latest_slot(tmp_path, monkeypatch):
+    """save_every=N (extras) thins the per-epoch latest-slot saves but the
+    FINAL epoch always saves, so resume/warm-start slots stay complete;
+    the default (absent) keeps the reference's save-every-epoch cadence."""
+    import os
+
+    from shapegan_tpu import checkpoints
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    orig = gan_train.save
+
+    def counting_save(config, g_state, d_state, g_name, d_name, epoch, snapshot):
+        calls.append(epoch)
+        return orig(config, g_state, d_state, g_name, d_name, epoch, snapshot)
+
+    monkeypatch.setattr(gan_train, "save", counting_save)
+    cfg = TrainConfig(
+        nogui=True, synthetic=4, epochs=5, batch_size=4, seed=0,
+        model_dir=str(tmp_path / "models"), plot_dir=str(tmp_path / "plots"),
+        extras={"save_every": 3},
+    )
+    gan_train.train(cfg)
+    # epoch 0: snapshot cadence (%20); epoch 2: (2+1)%3==0; epoch 4: final.
+    assert calls == [0, 2, 4]
+    assert checkpoints.exists("generator", base=cfg.model_dir)
+    log = (tmp_path / "plots" / "gan_training.csv").read_text().splitlines()
+    assert len(log) == 5  # CSV stays per-epoch (resume line-count semantics)
