@@ -35,8 +35,19 @@ training still produce shapes of the right family" check, not a SOTA bar.
 Usage:
     python run_gan_gate.py [workdir] [cpu] [shapes=64] [samples=16]
         [gan_epochs=1000] [prog_epochs=250] [point_count=2048] [gt_count=24]
-        [nosheet] [voxel_mmd_max=..] [voxel_cov_min=..]
+        [prog_g_every=1] [prog_lr=1e-3] [prog_d_lr=..] [nosheet]
+        [voxel_mmd_max=..] [voxel_cov_min=..]
         [prog_mmd_max=..] [prog_cov_min=..]
+
+Progressive-stage rebalance (prog_g_every / prog_lr / prog_d_lr): at the
+gate's synthetic budget (64 shapes -> 4 batches/epoch) the reference cadence
+(G every 5th batch, RMSprop 1e-4) gives the generator ~200 updates per
+250-epoch iteration — ~60x fewer than the reference's real-data runs — and
+the generator mean-collapses to the data's constant mean field (every sample
+empty; measured in the round-5 scan, scripts/prog_gate_scan.py). The gate
+therefore trains the chain with G updated every batch at a higher learning
+rate by default; the TRAINER defaults remain reference-parity
+(train/hybrid_progressive_gan.py).
 """
 
 import json
@@ -102,12 +113,16 @@ def main():
         gates={k: float(opts[k]) for k in DEFAULT_GATES if k in opts},
         resume=resume,
         save_every=int(opts.get("save_every", 25)),
+        prog_g_every=int(opts.get("prog_g_every", 1)),
+        prog_lr=float(opts.get("prog_lr", 1e-3)),
+        prog_d_lr=float(opts["prog_d_lr"]) if "prog_d_lr" in opts else None,
     )
 
 
 def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
         point_count=2048, gt_count=24, mesh_resolution=64, sheet=True,
-        gates=None, seed=0, resume=False, save_every=25):
+        gates=None, seed=0, resume=False, save_every=25,
+        prog_g_every=1, prog_lr=1e-3, prog_d_lr=None):
     """``resume=True`` ('continue' on the CLI) makes the run retryable: each
     training stage resumes from its own CSV/checkpoints if it has started
     (fresh warm-start semantics otherwise), so an interrupted run — e.g. a
@@ -192,11 +207,15 @@ def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
             assert checkpoints.exists(prog.D_NAME.format(iteration - 1), base=model_dir), (
                 f"iteration {iteration}: missing warm-start discriminator checkpoint"
             )
+        prog_extras = {"save_every": save_every, "g_every": prog_g_every,
+                       "learn_rate": prog_lr}
+        if prog_d_lr is not None:
+            prog_extras["d_learn_rate"] = prog_d_lr
         prog_cfg = TrainConfig(
             nogui=True, synthetic=shapes, epochs=prog_epochs, iteration=iteration,
             seed=seed, batch_size=16, model_dir=model_dir, plot_dir=plot_dir,
             resume=stage_resume(f"hybrid_gan_training_{iteration}.csv"),
-            extras={"save_every": save_every},
+            extras=prog_extras,
         )
         g_params, d_params = prog.train(prog_cfg)
         _assert_finite_csv(
@@ -267,7 +286,9 @@ def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
         "thresholds": thresholds,
         "config": {"shapes": shapes, "samples": samples, "gan_epochs": gan_epochs,
                    "prog_epochs": prog_epochs, "point_count": point_count,
-                   "gt_count": gt_count, "seed": seed},
+                   "gt_count": gt_count, "seed": seed,
+                   "prog_g_every": prog_g_every, "prog_lr": prog_lr,
+                   "prog_d_lr": prog_d_lr},
         "sample_sheet": sheet_path,
         "pass": not failures,
         "failures": failures,

@@ -83,6 +83,7 @@ def create_models(seed: int = 0):
 
 def make_steps(net: SDFNet, discriminator: ProgressiveDiscriminator, g_tx, d_tx,
                iteration: int, batch_size: int):
+    """Build the jitted G/D steps for one growth iteration (static arg)."""
     resolution = RESOLUTIONS[iteration]
     grid = jnp.asarray(voxel_coordinates(resolution))
 
@@ -156,8 +157,18 @@ def train(config: Optional[TrainConfig] = None):
         if checkpoints.exists(D_NAME.format(iteration), base=config.model_dir):
             d_params = checkpoints.load(d_params, D_NAME.format(iteration), base=config.model_dir)
 
-    g_tx = optax.rmsprop(LEARN_RATE)
-    d_tx = optax.rmsprop(LEARN_RATE)
+    # Gate-scale knobs (config.extras; defaults = reference semantics).
+    # At the quality gate's synthetic budget (64 shapes -> 4 batches/epoch)
+    # the reference cadence gives the generator <1 update per epoch — ~60x
+    # fewer G updates per iteration than the reference's real-data runs —
+    # and the generator mean-collapses before it can form shapes. The gate
+    # passes g_every/learn_rate overrides to rebalance at small scale; the
+    # defaults here keep reference parity (:81-82, :135).
+    g_every = int(config.extras.get("g_every", GENERATOR_UPDATE_EVERY))
+    learn_rate = float(config.extras.get("learn_rate", LEARN_RATE))
+    d_learn_rate = float(config.extras.get("d_learn_rate", learn_rate))
+    g_tx = optax.rmsprop(learn_rate)
+    d_tx = optax.rmsprop(d_learn_rate)
     g_opt_state = g_tx.init(g_params)
     d_opt_state = d_tx.init(d_params)
     # Same-iteration resume restores RMSprop moments from the sidecar; a new
@@ -205,7 +216,7 @@ def train(config: Optional[TrainConfig] = None):
                         )
                         rng, grng, drng = jax.random.split(rng, 3)
                         with profiler:
-                            if batch_index % GENERATOR_UPDATE_EVERY == 0:
+                            if batch_index % g_every == 0:
                                 g_params, g_opt_state, fake = g_step(
                                     g_params, g_opt_state, d_params, grng, fade
                                 )
