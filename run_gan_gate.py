@@ -34,7 +34,7 @@ training still produce shapes of the right family" check, not a SOTA bar.
 
 Usage:
     python run_gan_gate.py [workdir] [cpu] [shapes=64] [samples=16]
-        [gan_epochs=1000] [prog_epochs=250] [point_count=2048] [gt_count=24]
+        [gan_epochs=2000] [prog_epochs=250] [point_count=2048] [gt_count=24]
         [prog_g_every=1] [prog_lr=1e-3] [prog_d_lr=..] [nosheet]
         [voxel_mmd_max=..] [voxel_cov_min=..]
         [prog_mmd_max=..] [prog_cov_min=..]
@@ -58,7 +58,7 @@ import time
 import numpy as np
 
 # Calibration procedure: run this script at the default budgets (shapes=64,
-# samples=16, gan_epochs=1000, prog_epochs=250) on one v5e chip, record the
+# samples=16, gan_epochs=2000, prog_epochs=250) on one v5e chip, record the
 # measured MMD/COV in BASELINE.md, and set bounds with ~2x headroom on MMD
 # and one coarse COV grid step (1/samples) of slack on COV — loose enough
 # for run-to-run GAN noise, tight enough that a collapsed or untrained
@@ -105,7 +105,7 @@ def main():
         workdir,
         shapes=int(opts.get("shapes", 64)),
         samples=int(opts.get("samples", 16)),
-        gan_epochs=int(opts.get("gan_epochs", 1000)),
+        gan_epochs=int(opts.get("gan_epochs", 2000)),
         prog_epochs=int(opts.get("prog_epochs", 250)),
         point_count=int(opts.get("point_count", 2048)),
         gt_count=int(opts.get("gt_count", 24)),
@@ -119,7 +119,7 @@ def main():
     )
 
 
-def run(workdir, shapes=64, samples=16, gan_epochs=1000, prog_epochs=250,
+def run(workdir, shapes=64, samples=16, gan_epochs=2000, prog_epochs=250,
         point_count=2048, gt_count=24, mesh_resolution=64, sheet=True,
         gates=None, seed=0, resume=False, save_every=25,
         prog_g_every=1, prog_lr=1e-3, prog_d_lr=None):

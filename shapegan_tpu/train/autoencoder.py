@@ -23,10 +23,9 @@ from flax.training import train_state
 
 from shapegan_tpu import checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.autoencoder import Autoencoder
 from shapegan_tpu.ops.losses import kld_loss, sdf_reconstruction_loss, voxel_sign_difference
-from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from shapegan_tpu.parallel.mesh import get_mesh, replicated
 from shapegan_tpu.train.common import (
     CSVLogger,
     EpochTimer,
@@ -34,6 +33,7 @@ from shapegan_tpu.train.common import (
     StepProfiler,
     effective_batch_size,
     make_viewer,
+    make_voxel_batches,
     maybe_print_slice,
     resolve_voxel_dataset,
 )
@@ -100,7 +100,7 @@ def train(config: Optional[TrainConfig] = None) -> TrainState:
     dataset = resolve_voxel_dataset(config, resolution=32)
     batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(dataset))
     mesh = get_mesh(batch_size=batch_size)
-    loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
+    batches = make_voxel_batches(dataset, mesh, batch_size, config.seed, config.extras)
 
     rng = jax.random.PRNGKey(config.seed)
     state = create_state(model, rng)
@@ -134,11 +134,9 @@ def train(config: Optional[TrainConfig] = None) -> TrainState:
         for epoch in epochs:
             # Epoch-deterministic randomness for reproducible resume.
             rng = jax.random.fold_in(base_rng, epoch)
-            loader.set_epoch(epoch)
+            batches.set_epoch(epoch)
             with EpochTimer() as timer:
-                for batch_index, batch in enumerate(
-                    prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
-                ):
+                for batch_index, batch in enumerate(batches):
                     rng, step_rng = jax.random.split(rng)
                     with profiler:
                         state, metrics, output = train_step(

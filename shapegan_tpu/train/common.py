@@ -163,6 +163,137 @@ def resolve_voxel_dataset(config, resolution: int = 32, rescale_sdf: bool = True
     return VoxelDataset.glob(os.path.join(pattern_dir, "**.npy"), clamp=clamp, rescale_sdf=rescale_sdf)
 
 
+# Device-resident dataset cap. One v5e chip has 16 GB HBM; the 64^3
+# activations of a G step peak well under 8 GB, so 4 GiB of resident data is
+# conservative. The reference's largest shipped corpus (chairs, 4.2k shapes
+# at 64^3 fp32) is ~4.2 GB — raise with extras['resident_max_gb'] to pin it.
+RESIDENT_MAX_BYTES = 4 << 30
+
+
+class ResidentBatches:
+    """Device-resident replacement for BatchLoader + prefetch_to_device.
+
+    The streaming path re-ships every batch host→device each epoch — at 64^3
+    that is 16.7 MiB per step, and over the remote-TPU tunnel the single-chip
+    runs use, that transfer dominates the epoch (the round-5 quality-gate run
+    measured 2.4 s/epoch at 1.0 ms/step of device compute). Here the whole
+    voxel array is ``device_put`` ONCE, replicated over the mesh, and each
+    step gathers its batch on-device from a host-supplied index vector
+    (tens of bytes per step). With the dataset replicated and the indices
+    sharded over 'data', each device's gather is local — no collectives.
+
+    Shuffle order is bit-identical to ``BatchLoader``'s (same
+    ``default_rng((seed, epoch))`` reseed in :meth:`set_epoch`, same
+    drop-remainder rule), so resume determinism and the CSV trajectories are
+    unchanged by residency — only the transport moves.
+    """
+
+    def __init__(self, array, mesh, batch_size: int, shuffle: bool = True,
+                 drop_remainder: bool = True, seed: Optional[int] = None):
+        import jax.numpy as jnp
+
+        from shapegan_tpu.parallel.mesh import data_sharding, replicated
+
+        array = np.asarray(array)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.seed = seed
+        self._n = len(array)
+        self._rng = np.random.default_rng(seed)
+        self._data = jax.device_put(array, replicated(mesh))
+        self._idx_sharding = data_sharding(mesh, 1)
+        self._gather = jax.jit(
+            lambda data, idx: jnp.take(data, idx, axis=0),
+            out_shardings=data_sharding(mesh, array.ndim),
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        if self.seed is not None:
+            self._rng = np.random.default_rng((self.seed, int(epoch)))
+
+    def __len__(self) -> int:
+        if self.drop_remainder:
+            return self._n // self.batch_size
+        return (self._n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(self._n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, self._n, self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            if self.drop_remainder and len(chunk) < self.batch_size:
+                return
+            idx = jax.device_put(chunk.astype(np.int32), self._idx_sharding)
+            yield self._gather(self._data, idx)
+
+
+class _StreamingBatches:
+    """The host-streaming path behind the same epoch-iterator surface."""
+
+    def __init__(self, loader, mesh):
+        from shapegan_tpu.parallel.mesh import shard_batch
+
+        self._loader = loader
+        self._put = lambda b: shard_batch(mesh, b)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._loader.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self._loader)
+
+    def __iter__(self):
+        from shapegan_tpu.data.datasets import prefetch_to_device
+
+        yield from prefetch_to_device(self._loader, self._put)
+
+
+def make_voxel_batches(dataset, mesh, batch_size: int, seed: Optional[int],
+                       extras: Optional[dict] = None):
+    """Batch source for the voxel trainers: device-resident when the dataset
+    fits the HBM budget, host-streaming otherwise.
+
+    ``extras['resident']`` forces the choice (1/0); the default 'auto' goes
+    resident when the materialized array is at most
+    ``extras['resident_max_gb']`` (default 4 GiB). Both paths present
+    ``set_epoch`` / ``__iter__`` (device batches, sharded over 'data') /
+    ``__len__`` and draw the identical shuffle order.
+    """
+    from shapegan_tpu.data.datasets import ArrayDataset, BatchLoader
+
+    extras = extras or {}
+    mode = str(extras.get("resident", "auto")).lower()
+    max_bytes = int(float(extras.get("resident_max_gb", RESIDENT_MAX_BYTES / 2**30)) * 2**30)
+
+    resident = None
+    if mode in ("1", "true", "yes"):
+        resident = True
+    elif mode in ("0", "false", "no"):
+        resident = False
+    elif mode != "auto":
+        raise ValueError(f"resident={mode!r}: expected auto/0/1")
+
+    if resident is None:
+        probe = np.asarray(dataset[0]) if len(dataset) else None
+        est = 0 if probe is None else probe.nbytes * len(dataset)
+        resident = est <= max_bytes
+    if resident:
+        if isinstance(dataset, ArrayDataset):
+            array = dataset.array
+        else:
+            array = np.stack([dataset[i] for i in range(len(dataset))])
+        if array.nbytes > max_bytes:
+            resident = False  # probe-based estimate was low (ragged items)
+        else:
+            return ResidentBatches(
+                array, mesh, batch_size, shuffle=True, drop_remainder=True, seed=seed
+            )
+    loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=seed)
+    return _StreamingBatches(loader, mesh)
+
+
 def make_viewer(nogui: bool):
     """Create the GL live viewer unless nogui / unavailable.
 

@@ -24,10 +24,9 @@ from flax.training import train_state
 
 from shapegan_tpu import LATENT_CODE_SIZE, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.gan import Discriminator, Generator
 from shapegan_tpu.ops.losses import bce_loss
-from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from shapegan_tpu.parallel.mesh import get_mesh, replicated
 from shapegan_tpu.train.common import (
     CSVLogger,
     EpochTimer,
@@ -35,6 +34,7 @@ from shapegan_tpu.train.common import (
     StepProfiler,
     effective_batch_size,
     make_viewer,
+    make_voxel_batches,
     maybe_print_slice,
     resolve_voxel_dataset,
 )
@@ -145,7 +145,7 @@ def train(config: Optional[TrainConfig] = None):
     dataset = resolve_voxel_dataset(config, resolution=32)
     batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(dataset))
     mesh = get_mesh(batch_size=batch_size)
-    loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
+    batches = make_voxel_batches(dataset, mesh, batch_size, config.seed, config.extras)
 
     g_state = jax.device_put(g_state, replicated(mesh))
     d_state = jax.device_put(d_state, replicated(mesh))
@@ -167,11 +167,9 @@ def train(config: Optional[TrainConfig] = None):
         for epoch in epochs:
             # Epoch-deterministic randomness for reproducible resume.
             rng = jax.random.fold_in(base_rng, epoch)
-            loader.set_epoch(epoch)
+            batches.set_epoch(epoch)
             with EpochTimer() as timer:
-                for batch_index, batch in enumerate(
-                    prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
-                ):
+                for batch_index, batch in enumerate(batches):
                     rng, step_rng = jax.random.split(rng)
                     with profiler:
                         g_state, d_state, metrics, sample = train_step(

@@ -28,7 +28,6 @@ from flax.training import train_state
 
 from shapegan_tpu import LATENT_CODE_SIZE, SDF_CLIPPING, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.gan import Discriminator
 from shapegan_tpu.models.sdf_net import SDFNet
 from shapegan_tpu.ops.coords import voxel_coordinates
@@ -39,7 +38,6 @@ from shapegan_tpu.parallel.mesh import (
     constrain,
     get_mesh,
     replicated,
-    shard_batch,
 )
 from shapegan_tpu.train.common import (
     CSVLogger,
@@ -48,6 +46,7 @@ from shapegan_tpu.train.common import (
     StepProfiler,
     effective_batch_size,
     make_viewer,
+    make_voxel_batches,
     maybe_print_slice,
     resolve_voxel_dataset,
 )
@@ -210,7 +209,7 @@ def train(config: Optional[TrainConfig] = None):
     dataset = resolve_voxel_dataset(config, resolution=VOXEL_RESOLUTION, rescale_sdf=False)
     batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(dataset))
     mesh = get_mesh(batch_size=batch_size)
-    loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
+    batches = make_voxel_batches(dataset, mesh, batch_size, config.seed, config.extras)
 
     g_params = jax.device_put(g_params, replicated(mesh))
     d_state = jax.device_put(d_state, replicated(mesh))
@@ -236,11 +235,9 @@ def train(config: Optional[TrainConfig] = None):
                 # Epoch-deterministic randomness: resume at epoch N replays
                 # the uninterrupted run's exact latent draws + batch order.
                 rng = jax.random.fold_in(base_rng, epoch)
-                loader.set_epoch(epoch)
+                batches.set_epoch(epoch)
                 with EpochTimer() as timer:
-                    for batch_index, batch in enumerate(
-                        prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
-                    ):
+                    for batch_index, batch in enumerate(batches):
                         rng, grng, drng = jax.random.split(rng, 3)
                         with profiler:
                             g_params, g_opt_state, fake = g_step(

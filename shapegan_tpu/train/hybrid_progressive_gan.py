@@ -37,12 +37,11 @@ import optax
 
 from shapegan_tpu import LATENT_CODE_SIZE, SDF_CLIPPING, checkpoints
 from shapegan_tpu.core.config import TrainConfig, parse_cli
-from shapegan_tpu.data.datasets import BatchLoader, prefetch_to_device
 from shapegan_tpu.models.progressive_gan import RESOLUTIONS, ProgressiveDiscriminator
 from shapegan_tpu.models.sdf_net import SDFNet
 from shapegan_tpu.ops.coords import voxel_coordinates
 from shapegan_tpu.ops.losses import gradient_penalty
-from shapegan_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from shapegan_tpu.parallel.mesh import get_mesh, replicated
 from shapegan_tpu.train.common import (
     CSVLogger,
     EpochTimer,
@@ -50,6 +49,7 @@ from shapegan_tpu.train.common import (
     StepProfiler,
     effective_batch_size,
     make_viewer,
+    make_voxel_batches,
     maybe_print_slice,
     resolve_voxel_dataset,
 )
@@ -183,8 +183,8 @@ def train(config: Optional[TrainConfig] = None):
     dataset = resolve_voxel_dataset(config, resolution=resolution, rescale_sdf=False)
     batch_size = effective_batch_size(config.batch_size or BATCH_SIZE, len(dataset))
     mesh = get_mesh(batch_size=batch_size)
-    loader = BatchLoader(dataset, batch_size, shuffle=True, drop_remainder=True, seed=config.seed)
-    batches_per_epoch = max(1, len(loader))
+    batches = make_voxel_batches(dataset, mesh, batch_size, config.seed, config.extras)
+    batches_per_epoch = max(1, len(batches))
 
     g_params, d_params, g_opt_state, d_opt_state = jax.device_put(
         (g_params, d_params, g_opt_state, d_opt_state), replicated(mesh)
@@ -205,11 +205,9 @@ def train(config: Optional[TrainConfig] = None):
             for epoch in range(first_epoch, epochs_total):
                 # Epoch-deterministic randomness for reproducible resume.
                 rng = jax.random.fold_in(base_rng, epoch)
-                loader.set_epoch(epoch)
+                batches.set_epoch(epoch)
                 with EpochTimer() as timer:
-                    for batch_index, batch in enumerate(
-                        prefetch_to_device(loader, lambda b: shard_batch(mesh, b))
-                    ):
+                    for batch_index, batch in enumerate(batches):
                         fade = (
                             (epoch + batch_index / batches_per_epoch) / FADE_IN_EPOCHS
                             if fading else 1.0

@@ -110,3 +110,57 @@ def test_batch_loader_auto_advances_epoch_without_set_epoch():
     loader.set_epoch(5)
     b = [np.copy(b[0]) for b in loader]
     np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_resident_batches_match_streaming_order_and_sharding():
+    """ResidentBatches must be a pure transport change: same (seed, epoch)
+    shuffle order and batch contents as BatchLoader + shard_batch, with the
+    gathered batch sharded over 'data' on the mesh. A divergence here would
+    silently change every voxel trainer's training trajectory when the
+    dataset goes HBM-resident."""
+    import jax
+
+    from shapegan_tpu.parallel.mesh import DATA_AXIS, get_mesh, shard_batch
+    from shapegan_tpu.train.common import ResidentBatches, make_voxel_batches
+
+    data = np.random.default_rng(3).normal(size=(10, 4, 4, 4)).astype(np.float32)
+    ds = ArrayDataset(data)
+    mesh = get_mesh(batch_size=4)
+    resident = ResidentBatches(data, mesh, 4, shuffle=True, drop_remainder=True, seed=7)
+    loader = BatchLoader(ds, 4, shuffle=True, drop_remainder=True, seed=7)
+
+    for epoch in (0, 3):
+        resident.set_epoch(epoch)
+        loader.set_epoch(epoch)
+        got = [np.asarray(b) for b in resident]
+        want = [np.asarray(shard_batch(mesh, b)) for b in loader]
+        assert len(got) == len(want) == len(resident) == 2  # drop remainder
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    resident.set_epoch(0)
+    batch = next(iter(resident))
+    spec = batch.sharding.spec
+    assert spec and spec[0] == DATA_AXIS
+
+
+def test_make_voxel_batches_mode_selection():
+    from shapegan_tpu.parallel.mesh import get_mesh
+    from shapegan_tpu.train.common import (
+        ResidentBatches,
+        _StreamingBatches,
+        make_voxel_batches,
+    )
+
+    data = np.zeros((8, 4, 4, 4), dtype=np.float32)
+    ds = ArrayDataset(data)
+    mesh = get_mesh(batch_size=4)
+    assert isinstance(make_voxel_batches(ds, mesh, 4, 0, {}), ResidentBatches)
+    assert isinstance(
+        make_voxel_batches(ds, mesh, 4, 0, {"resident": "0"}), _StreamingBatches
+    )
+    # Over the (tiny, forced) byte cap -> streaming fallback.
+    tiny_cap = {"resident_max_gb": 1e-9}
+    assert isinstance(make_voxel_batches(ds, mesh, 4, 0, tiny_cap), _StreamingBatches)
+    with pytest.raises(ValueError):
+        make_voxel_batches(ds, mesh, 4, 0, {"resident": "sometimes"})
